@@ -1,0 +1,194 @@
+"""Document façade: PDF bytes → pages → positioned TextItems → text.
+
+Drives the full from-scratch chain (xref walk → object load →
+FlateDecode → content-stream interpretation → CMap decode) that the
+reference performs via pdf.js ``getDocument``/``getPage``/
+``getTextContent`` (``src/services/pdfParser/index.ts:23-41``).
+
+Extracted-text contract (frozen, goldens generated against it):
+- page text  = '\\n'.join(item.str for the page's items, stream order);
+- doc text   = '\\f'.join(page texts);
+- white-text metadata string = concat of items with
+  ``item.str.strip() != '' and transform[0] == 0`` joined by ``''``
+  (byte-for-byte the predicate of ``metadata.ts:37-51``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from .cmap import FontDecoder, ToUnicodeCMap, parse_differences
+from .content import TextItem, interpret_text
+from .filters import FilterError, decode_stream
+from .lexer import LexError, Name, Ref, StreamObj
+from .xref import ObjectStore, XrefError
+
+
+class PdfError(ValueError):
+    """Machine-readable parse failure. ``code`` feeds the audit table."""
+
+    def __init__(self, code: str, message: str):
+        super().__init__(message)
+        self.code = code
+
+
+class PdfPage:
+    __slots__ = ("index", "items")
+
+    def __init__(self, index: int, items: List[TextItem]):
+        self.index = index
+        self.items = items
+
+    def text(self) -> str:
+        return "\n".join(it.str for it in self.items)
+
+    def whitetext_metadata(self) -> str:
+        """The reference's white-text concat (``metadata.ts:37-51``)."""
+        return "".join(
+            it.str
+            for it in self.items
+            if it.str.strip() and it.transform[0] == 0
+        )
+
+
+class PdfDocument:
+    """A parsed PDF. ``decode_fallbacks`` counts tolerated degradations
+    (xref reconstruction, undecodable page streams) for the audit table.
+    """
+
+    def __init__(self, pages: List[PdfPage], decode_fallbacks: int):
+        self.pages = pages
+        self.decode_fallbacks = decode_fallbacks
+
+    @property
+    def num_pages(self) -> int:
+        return len(self.pages)
+
+    def text(self) -> str:
+        return "\f".join(p.text() for p in self.pages)
+
+
+def _collect_page_dicts(store: ObjectStore) -> List[dict]:
+    """Walk the /Pages tree depth-first, carrying inherited /Resources."""
+    catalog = store.catalog()
+    root = store.resolve(catalog.get("Pages"))
+    if not isinstance(root, dict):
+        raise PdfError("no_pages", "catalog has no /Pages tree")
+    pages: List[dict] = []
+    stack = [(root, None)]
+    seen = 0
+    while stack:
+        node, inherited_res = stack.pop()
+        res = node.get("Resources", inherited_res)
+        node_type = str(node.get("Type", ""))
+        if node_type == "Page" or ("Kids" not in node and "Contents" in node):
+            page = dict(node)
+            if "Resources" not in page and res is not None:
+                page["Resources"] = res
+            pages.append(page)
+        else:
+            kids = store.resolve(node.get("Kids")) or []
+            for kid in reversed(kids):
+                kd = store.resolve(kid)
+                if isinstance(kd, dict):
+                    stack.append((kd, res))
+        seen += 1
+        if seen > 100_000:
+            raise PdfError("pages_cycle", "pages tree too large or cyclic")
+    if not pages:
+        raise PdfError("no_pages", "empty /Pages tree")
+    return pages
+
+
+def _build_fonts(store: ObjectStore, resources) -> Dict[str, FontDecoder]:
+    fonts: Dict[str, FontDecoder] = {}
+    res = store.resolve(resources)
+    if not isinstance(res, dict):
+        return fonts
+    font_dict = store.resolve(res.get("Font"))
+    if not isinstance(font_dict, dict):
+        return fonts
+    for fname, fref in font_dict.items():
+        fd = store.resolve(fref)
+        if not isinstance(fd, dict):
+            continue
+        tounicode: Optional[ToUnicodeCMap] = None
+        tu = store.resolve(fd.get("ToUnicode"))
+        if isinstance(tu, StreamObj):
+            try:
+                tounicode = ToUnicodeCMap.parse(decode_stream(tu, store.resolve))
+            except (FilterError, LexError):
+                tounicode = None
+        base_enc: Optional[str] = None
+        differences = None
+        enc = store.resolve(fd.get("Encoding"))
+        if isinstance(enc, (Name, str)):
+            base_enc = str(enc)
+        elif isinstance(enc, dict):
+            be = enc.get("BaseEncoding")
+            if be is not None:
+                base_enc = str(be)
+            diff = store.resolve(enc.get("Differences"))
+            if isinstance(diff, list):
+                differences = parse_differences(diff)
+        fonts[str(fname)] = FontDecoder(tounicode, base_enc, differences)
+    return fonts
+
+
+def _page_content_bytes(store: ObjectStore, page: dict) -> bytes:
+    contents = store.resolve(page.get("Contents"))
+    streams: List[StreamObj] = []
+    if isinstance(contents, StreamObj):
+        streams = [contents]
+    elif isinstance(contents, list):
+        for c in contents:
+            cs = store.resolve(c)
+            if isinstance(cs, StreamObj):
+                streams.append(cs)
+    parts = []
+    for s in streams:
+        parts.append(decode_stream(s, store.resolve))
+    return b"\n".join(parts)
+
+
+def parse_pdf(data: bytes) -> PdfDocument:
+    """Parse PDF bytes into pages of positioned text items.
+
+    Raises :class:`PdfError` with a stable ``code`` on unrecoverable
+    failures; page-level decode errors are tolerated and counted
+    (mirroring the page-loop ``continue`` of
+    ``src/services/pdfParser/index.ts:65-68``).
+    """
+    if not data:
+        raise PdfError("empty", "empty or invalid PDF file")
+    # header guard: %PDF within the first 1KB (spec allows preamble junk)
+    if b"%PDF-" not in data[:1024]:
+        raise PdfError("not_pdf", "missing %PDF header")
+
+    try:
+        store = ObjectStore(data)
+    except (XrefError, LexError, ValueError) as e:
+        raise PdfError("bad_xref", f"cannot build xref: {e}") from None
+
+    fallbacks = 1 if store.used_fallback else 0
+
+    try:
+        page_dicts = _collect_page_dicts(store)
+    except PdfError:
+        raise
+    except (XrefError, LexError, ValueError) as e:
+        raise PdfError("bad_pages", f"cannot walk pages tree: {e}") from None
+
+    pages: List[PdfPage] = []
+    for i, pd in enumerate(page_dicts):
+        try:
+            fonts = _build_fonts(store, pd.get("Resources"))
+            content = _page_content_bytes(store, pd)
+            items = interpret_text(content, fonts)
+            pages.append(PdfPage(i, items))
+        except (FilterError, LexError, XrefError, ValueError):
+            fallbacks += 1
+            pages.append(PdfPage(i, []))  # degraded page, kept for indexing
+    if not pages:
+        raise PdfError("no_pages", "the PDF file appears to be empty")
+    return PdfDocument(pages, fallbacks)

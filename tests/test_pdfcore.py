@@ -1,0 +1,227 @@
+"""pdfcore round-trip tests: generator goldens vs from-scratch parser.
+
+The generator (synth/pdfgen.py) computes expected text independently;
+byte-identical equality here is the north-rule correctness gate
+(BASELINE.json: "byte-identical extracted text per url").
+"""
+
+import zlib
+
+import pytest
+
+from pdf_parser_spark.pdfcore import parse_pdf, PdfError
+from pdf_parser_spark.pdfcore.filters import (
+    apply_predictor,
+    ascii85_decode,
+    asciihex_decode,
+    flate_decode,
+    lzw_decode,
+    runlength_decode,
+)
+from pdf_parser_spark.pdfcore.lexer import Lexer, Name, Ref, StreamObj
+from pdf_parser_spark.synth.pdfgen import PdfBuilder, make_quote_pdf
+from pdf_parser_spark.synth.pages import make_oversized_pdf
+
+
+# ----------------------------------------------------------------------
+# lexer
+# ----------------------------------------------------------------------
+def test_lexer_primitives():
+    lx = Lexer(b"<< /Name /Foo#20Bar /I 42 /R 3.14 /Neg -7 /S (a(b)c\\n) "
+               b"/H <48656c6C6f> /A [1 2 R 3] /B true /N null >>")
+    d = lx.read_object()
+    assert d["Name"] == "Foo Bar"
+    assert d["I"] == 42 and abs(d["R"] - 3.14) < 1e-9 and d["Neg"] == -7
+    assert d["S"] == b"a(b)c\n"
+    assert d["H"] == b"Hello"
+    assert d["A"] == [Ref(1, 2), 3]
+    assert d["B"] is True and d["N"] is None
+
+
+def test_lexer_octal_and_nested_parens():
+    lx = Lexer(rb"(\101\102(nested)\053)")
+    assert lx.read_object() == b"AB(nested)+"
+
+
+def test_lexer_stream_with_direct_length():
+    data = b"<< /Length 5 >>\nstream\nHELLO\nendstream"
+    obj = Lexer(data).read_object()
+    assert isinstance(obj, StreamObj) and obj.raw == b"HELLO"
+
+
+# ----------------------------------------------------------------------
+# filters
+# ----------------------------------------------------------------------
+def test_flate_roundtrip():
+    raw = b"the quick brown fox" * 50
+    assert flate_decode(zlib.compress(raw)) == raw
+
+
+def test_png_predictor_up():
+    # columns=4, predictor Up: rows of filter-type 2
+    row1 = bytes([2, 1, 1, 1, 1])
+    row2 = bytes([2, 1, 1, 1, 1])
+    out = apply_predictor(row1 + row2, {"Predictor": 12, "Columns": 4})
+    assert out == bytes([1, 1, 1, 1, 2, 2, 2, 2])
+
+
+def test_asciihex():
+    assert asciihex_decode(b"48 65 6c 6c 6f>") == b"Hello"
+    assert asciihex_decode(b"486>") == b"H`"  # odd digit padded with 0
+
+
+def test_ascii85():
+    assert ascii85_decode(b"87cURD]o~>") == b"Hello!"
+    assert ascii85_decode(b"87cURDZ~>") == b"Hello"
+    assert ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+
+
+def test_runlength():
+    assert runlength_decode(bytes([2]) + b"abc" + bytes([254, ord("x"), 128])) == b"abcxxx"
+
+
+def test_lzw_simple():
+    # canonical LZW example: encode 'TOBEORNOTTOBEORTOBEORNOT' by hand is
+    # overkill; instead verify clear-code handling + growth on a stream
+    # produced by a tiny inline encoder.
+    def lzw_encode(data: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+        out = []
+        bits = []
+
+        def emit(code):
+            bits.append((code, len(bits)))
+
+        buf = b""
+        codes = [256]
+        for b in data:
+            cand = buf + bytes([b])
+            if cand in table:
+                buf = cand
+            else:
+                codes.append(table[buf])
+                table[cand] = next_code
+                next_code += 1
+                buf = bytes([b])
+        if buf:
+            codes.append(table[buf])
+        codes.append(257)
+        # pack MSB-first with early-change widths
+        outbits = bytearray()
+        acc, nacc = 0, 0
+        width = 9
+        count = 258
+        for c in codes:
+            acc = (acc << width) | c
+            nacc += width
+            while nacc >= 8:
+                nacc -= 8
+                outbits.append((acc >> nacc) & 0xFF)
+            if c == 256:
+                count = 258
+                width = 9
+            else:
+                count += 1
+                if count + 1 - 1 >= (1 << width) and width < 12:
+                    width += 1
+        if nacc:
+            outbits.append((acc << (8 - nacc)) & 0xFF)
+        return bytes(outbits)
+
+    raw = b"TOBEORNOTTOBEORTOBEORNOT" * 3
+    assert lzw_decode(lzw_encode(raw)) == raw
+
+
+# ----------------------------------------------------------------------
+# full documents
+# ----------------------------------------------------------------------
+@pytest.mark.parametrize("i", list(range(10)))
+def test_quote_pdf_byte_identical_text(i):
+    blob, golden_text, golden_white = make_quote_pdf(i)
+    doc = parse_pdf(blob)
+    assert doc.text() == golden_text, f"variant {i % 5} text mismatch"
+
+
+@pytest.mark.parametrize("i", [0, 1, 2, 3, 4, 8, 13])
+def test_quote_pdf_whitetext_record(i):
+    blob, _, golden_white = make_quote_pdf(i)
+    doc = parse_pdf(blob)
+    whites = [p.whitetext_metadata() for p in doc.pages if p.whitetext_metadata()]
+    assert len(whites) == 1
+    assert whites[0] == golden_white
+    assert "||Name_of_Prospect: Prospect" in whites[0]
+
+
+def test_multipage_metadata_on_page_two():
+    blob, golden_text, golden_white = make_quote_pdf(3)  # variant 3: 3 pages
+    doc = parse_pdf(blob)
+    assert doc.num_pages == 3
+    assert doc.pages[0].whitetext_metadata() == ""
+    assert doc.pages[1].whitetext_metadata() == golden_white
+    assert doc.text() == golden_text
+
+
+def test_xref_stream_variant():
+    blob, golden_text, _ = make_quote_pdf(2)  # variant 2: xref stream
+    assert b"/Type /XRef" in blob
+    doc = parse_pdf(blob)
+    assert doc.text() == golden_text
+    assert doc.decode_fallbacks == 0
+
+
+def test_tounicode_font_variant():
+    blob, golden_text, _ = make_quote_pdf(4)  # variant 4: F2 body text
+    doc = parse_pdf(blob)
+    assert "€" in doc.text() and "ﬁ" in doc.text()
+    assert doc.text() == golden_text
+
+
+def test_oversized_pdf():
+    blob, golden_text, golden_white = make_oversized_pdf(999)
+    doc = parse_pdf(blob)
+    assert doc.num_pages == 100
+    assert doc.text() == golden_text
+    assert doc.pages[0].whitetext_metadata() == golden_white
+
+
+def test_corrupt_pdf_raises_pdferror():
+    blob, _, _ = make_quote_pdf(0)
+    with pytest.raises(PdfError):
+        parse_pdf(blob[:200])
+    with pytest.raises(PdfError) as ei:
+        parse_pdf(b"")
+    assert ei.value.code == "empty"
+    with pytest.raises(PdfError) as ei:
+        parse_pdf(b"GIF89a not a pdf")
+    assert ei.value.code == "not_pdf"
+
+
+def test_reconstruction_fallback_on_broken_xref():
+    blob, golden_text, _ = make_quote_pdf(0)
+    # corrupt the startxref offset → forces brute-force reconstruction
+    idx = blob.rfind(b"startxref")
+    broken = blob[:idx] + b"startxref\n999999999\n%%EOF\n"
+    doc = parse_pdf(broken)
+    assert doc.decode_fallbacks >= 1
+    assert doc.text() == golden_text
+
+
+def test_tj_kerning_space_rule():
+    b = PdfBuilder()
+    p = b.new_page()
+    p.tj(72, 700, ["Hel", -50, "lo", -250, "World"])
+    doc = parse_pdf(b.build())
+    assert doc.pages[0].items[0].str == "Hello World"
+
+
+def test_transform_zero_predicate():
+    b = PdfBuilder()
+    p = b.new_page()
+    p.text(72, 700, "visible")
+    p.white_text("||K: v")
+    doc = parse_pdf(b.build())
+    items = doc.pages[0].items
+    assert items[0].transform[0] != 0
+    assert items[1].transform[0] == 0
