@@ -1,0 +1,171 @@
+"""The extraction stage: ``pages`` → extracted text + items + metrics.
+
+One ``mapInPandas`` over Arrow batches of the binary ``html`` column —
+the ONLY Python hot path in the engine (everything downstream is
+native Catalyst). Replaces the reference's per-file browser pipeline
+(``src/services/pdfParser/index.ts:7-91``) with a distributed stage:
+
+    read parquet/iceberg → repartition(xxhash64(url)) → mapInPandas →
+    native field extraction → sinks + audit
+
+Scale design (north rule):
+- salting: callers repartition on ``xxhash64(url)`` before this stage
+  so oversized documents spread across tasks (see job.py);
+- Arrow batches are row-capped (session.py arrow_batch_rows) because a
+  batch of binaries can be GBs;
+- failures NEVER throw: they become ``error_code`` rows, mirroring the
+  page-loop error swallowing of the reference (``index.ts:65-68``);
+- per-doc decode fallbacks are counted for the audit table.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .htmlcore import extract_main_text
+from .pdfcore import PdfError, parse_pdf
+from .schema import EXTRACT_SCHEMA
+
+# pages whose white-text concat contains this marker are metadata
+# candidates (both reference parsers key on it: `metadata.ts:57` splits
+# on '||'; `pdfParser.ts:109` finds '||Name_of_Prospect:')
+_META_MARKER = "||"
+
+
+def sniff_doc_type(blob: Optional[bytes]) -> str:
+    if not blob:
+        return "unknown"
+    head = blob[:1024]
+    if b"%PDF-" in head:
+        return "pdf"
+    low = head[:256].lower()
+    if b"<!doctype" in low or b"<html" in low or b"<head" in low or b"<body" in low:
+        return "html"
+    return "unknown"
+
+
+def _extract_one(blob: Optional[bytes], mode: str) -> dict:
+    """Extract a single document. Never raises."""
+    out = {
+        "doc_type": sniff_doc_type(blob),
+        "text": None,
+        "spans": None,
+        "n_pages": 0,
+        "n_items": 0,
+        "meta_items": None,
+        "error_code": None,
+        "error_message": None,
+        "decode_fallbacks": 0,
+        "n_bytes": len(blob) if blob else 0,
+    }
+    if out["doc_type"] == "pdf":
+        try:
+            doc = parse_pdf(blob)
+        except PdfError as e:
+            out["error_code"] = e.code
+            out["error_message"] = str(e)[:500]
+            return out
+        except Exception as e:  # noqa: BLE001 — any parser bug degrades, never kills the task
+            out["error_code"] = "internal"
+            out["error_message"] = f"{type(e).__name__}: {e}"[:500]
+            return out
+        out["n_pages"] = doc.num_pages
+        out["decode_fallbacks"] = doc.decode_fallbacks
+        # doc text + per-item spans (character offsets into doc text)
+        spans: List[dict] = []
+        parts: List[str] = []
+        offset = 0
+        n_items = 0
+        for pi, page in enumerate(doc.pages):
+            for it in page.items:
+                if parts:
+                    offset += 1  # '\n' between items, '\f' between pages
+                spans.append({"start": offset, "end": offset + len(it.str)})
+                parts.append(it.str)
+                offset += len(it.str)
+                n_items += 1
+        # reassemble with the same separators as PdfDocument.text()
+        text_parts: List[str] = []
+        for pi, page in enumerate(doc.pages):
+            if pi:
+                text_parts.append("\f")
+            text_parts.append(page.text())
+        out["text"] = "".join(text_parts)
+        out["spans"] = spans
+        out["n_items"] = n_items
+        # metadata candidate page
+        if mode == "legacy":
+            pages = [doc.pages[-1]]
+        else:  # first page containing a '||' white-text run (index.ts:34-64)
+            pages = [p for p in doc.pages if _META_MARKER in p.whitetext_metadata()][:1]
+        if pages:
+            out["meta_items"] = [
+                {
+                    "str": it.str,
+                    "transform": [float(x) for x in it.transform],
+                    "font_name": it.font_name,
+                }
+                for it in pages[0].items
+            ]
+    elif out["doc_type"] == "html":
+        try:
+            text, spans = extract_main_text(blob.decode("utf-8", errors="replace"))
+            out["text"] = text
+            out["spans"] = [{"start": s, "end": e} for s, e in spans]
+            out["n_pages"] = 1
+        except Exception as e:  # noqa: BLE001
+            out["error_code"] = "html_error"
+            out["error_message"] = f"{type(e).__name__}: {e}"[:500]
+    else:
+        out["error_code"] = "unknown_type"
+        out["error_message"] = "not a PDF or HTML document"
+    return out
+
+
+def _make_mapper(mode: str):
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for url, warc_ts, blob, lang in zip(
+                pdf_batch["url"], pdf_batch["warc_ts"], pdf_batch["html"], pdf_batch["lang"]
+            ):
+                rec = _extract_one(bytes(blob) if blob is not None else None, mode)
+                rec["url"] = url
+                rec["warc_ts"] = warc_ts
+                rec["lang"] = lang
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EXTRACT_SCHEMA.fields]
+            )
+
+    return mapper
+
+
+def extract_documents(pages: DataFrame, mode: str = "first_valid") -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → EXTRACT_SCHEMA DataFrame.
+
+    ``mode``: ``first_valid`` (the current reference parser,
+    ``src/services/pdfParser/index.ts:34-69``) or ``legacy`` (last-page
+    marker path, ``src/services/pdfParser.ts:104-114``).
+
+    Column pruning: only (url, warc_ts, html, lang) are read — the
+    golden ``text`` column never ships to Python.
+    """
+    needed = pages.select("url", "warc_ts", "html", "lang")
+    return needed.mapInPandas(_make_mapper(mode), schema=EXTRACT_SCHEMA)
+
+
+def salted(pages: DataFrame, parallelism: int, factor: int = 4) -> DataFrame:
+    """Repartition on url-hash to defuse oversized-document skew.
+
+    ``xxhash64(url) pmod (parallelism*factor)`` spreads jumbo documents
+    uniformly regardless of input file layout (north rule; SURVEY.md §4
+    "Partitioning / shuffle").
+    """
+    n = max(1, parallelism * factor)
+    return pages.repartition(n, F.pmod(F.xxhash64("url"), F.lit(n)))
