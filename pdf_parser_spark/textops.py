@@ -1,0 +1,349 @@
+"""Large-scale training-data text operators (north-rule additions).
+
+Beyond the reference's own operator set: the operations a 100 TB
+text-corpus pipeline needs, each expressed as native Catalyst and
+designed for scale:
+
+- exact dedup            — hash-groupBy on content digest (one shuffle
+                           on the digest, AQE-coalesced);
+- MinHash + LSH dedup    — shingle → per-hash min (digest-based, no
+                           UDF) → band keys → bucket self-join; the
+                           shuffle key is the band hash, so candidate
+                           generation is O(bucket²) not O(n²);
+- SimHash                — 64-bit sign-aggregated digest, hamming
+                           ball candidate pairs;
+- n-gram Jaccard         — exact verification on candidate pairs (or
+                           full self-join at small scale);
+- language id            — stopword-hit scoring over 5 languages;
+- quality scoring        — length / punctuation / stopword / word-size
+                           signals in one pass;
+- token counting         — whitespace + regex token counts;
+- fingerprinting         — 0-mod-p winnowing of char-shingle hashes.
+
+All digests are md5-based so every operator has an exact DuckDB oracle
+(see ``__spark_entry__.py``); xxhash64 would be faster but has no
+DuckDB twin — at production scale swap ``_hash64``'s body for
+``F.xxhash64`` (one line).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------------
+# shared primitives
+# ----------------------------------------------------------------------
+def norm_words(text: Column) -> Column:
+    """Lowercased whitespace tokens of whitespace-normalized text."""
+    return F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")
+
+
+def _hash64(s: Column) -> Column:
+    """Deterministic 60-bit positive int from md5 (DuckDB-oracle-able)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def word_shingles(words: Column, k: int) -> Column:
+    """All k-word shingles as strings (empty array if < k words)."""
+    n = F.size(words)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# exact dedup
+# ----------------------------------------------------------------------
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (digest, canonical_id, dup_ids).
+
+    One shuffle on the digest; at 10^12 rows the digest groupBy is the
+    canonical map-side-combinable aggregation.
+    """
+    digest = F.md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col), digest.alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH
+# ----------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = 12, shingle_k: int = 3,
+) -> DataFrame:
+    """(id, hash_idx, min_hash): minhash via salted-digest minimum.
+
+    ``h_i(s) = md5(i || ':' || s)``; the signature row for hash i is the
+    lexicographic min over the document's shingles — computed with
+    ``array_min``/``transform``, no explode, no shuffle.
+    """
+    words = norm_words(F.col(text_col))
+    sh = word_shingles(words, shingle_k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.struct(
+            i.alias("hash_idx"),
+            F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+            ).alias("min_hash"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sig).alias("h"))
+        .select(id_col, F.col("h.hash_idx").alias("hash_idx"), F.col("h.min_hash").alias("min_hash"))
+        .filter(F.col("min_hash").isNotNull())
+    )
+
+
+def lsh_band_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_hashes: int = 12, bands: int = 4, shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Band key = md5 of the band's concatenated minhashes. The self-join
+    shuffles on (band_idx, band_key) — bucket-local, never all-pairs.
+    """
+    rows = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    banded = (
+        sigs.withColumn("band_idx", (F.col("hash_idx") / rows).cast("int"))
+        .groupBy(id_col, "band_idx")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("min_hash")))).alias("band_key"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_k: int = 3, threshold: float = 0.8,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for pairs ≥ threshold.
+
+    With ``candidates`` (e.g. from :func:`lsh_band_pairs`) verifies only
+    those; without, an inverted-index self-join on shingles (still not
+    all-pairs: the join key is the shingle)."""
+    words = norm_words(F.col(text_col))
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(words, shingle_k))).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Per-document SimHash: sign-aggregated word-hash bits.
+
+    bit_j(doc) = 1 iff #{words with hash bit j set} > n_words/2.
+    Pure array algebra (transform + aggregate), no explode.
+    """
+    words = norm_words(F.col(text_col))
+    hashes = F.transform(words, lambda w: _hash64(w))
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda j: F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)),
+        ),
+    )
+    n = F.size(words)
+    sim = F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda c, j: F.when(c * 2 > n, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return df.select(F.col(id_col), sim.alias("simhash"), n.alias("n_words"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 32) -> DataFrame:
+    """Near-dup candidates: simhash hamming distance ≤ max_hamming.
+
+    Scale path: block on 4 simhash quarters (pigeonhole — any pair
+    within hamming 3 agrees on ≥1 quarter), join per block.
+    """
+    sims = df
+    quarter = bits // 4
+    blocks = []
+    for q in range(4):
+        key = F.shiftright(F.col("simhash"), q * quarter).bitwiseAND(F.lit((1 << quarter) - 1))
+        blocks.append(sims.select(id_col, "simhash", F.lit(q).alias("block_q"), key.alias("block_key")))
+    blocked = blocks[0]
+    for b in blocks[1:]:
+        blocked = blocked.unionByName(b)
+    a, b = blocked.alias("a"), blocked.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_q") == F.col("b.block_q"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------------
+# language id / quality / tokens / fingerprint
+# ----------------------------------------------------------------------
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "de", "un", "une", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "de", "un", "una", "que", "por"],
+}
+
+
+def stopword_hits(words: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit argmax over {en,de,fr,es}; 'und' (undetermined) if 0 hits.
+
+    Ties break by language order en,de,fr,es (greatest-struct trick:
+    score desc, then fixed priority)."""
+    words = norm_words(F.col(text_col))
+    langs = list(STOPWORDS)
+    scored = df.select(
+        F.col(id_col),
+        *[stopword_hits(words, lg).alias(f"hits_{lg}") for lg in langs],
+        F.size(words).alias("n_words"),
+    )
+    best = F.greatest(
+        *[
+            F.struct(F.col(f"hits_{lg}"), F.lit(len(langs) - i).alias("prio"), F.lit(lg).alias("lang"))
+            for i, lg in enumerate(langs)
+        ]
+    )
+    return scored.select(
+        id_col, "n_words", *[f"hits_{lg}" for lg in langs],
+        F.when(best[f"hits_{langs[0]}"] == 0, F.lit("und")).otherwise(best["lang"]).alias("lang_pred"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality signals in one pass (all length/replace based
+    so the DuckDB oracle is expression-identical)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = norm_words(t)
+    n_words = F.size(words)
+    mean_word_len = F.when(n_words > 0, (F.length(F.array_join(words, "")) / n_words)).otherwise(0.0)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[!\"#$%&'()*+,\-./:;<=>?@\[\]^_`{|}~]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    sw_hits = stopword_hits(words, "en")
+    stop_ratio = F.when(n_words > 0, sw_hits / n_words).otherwise(0.0)
+    upper_ratio = F.when(
+        n_chars > 0, (n_chars - F.length(F.regexp_replace(t, "[A-Z]", ""))) / n_chars
+    ).otherwise(0.0)
+    score = (
+        F.when((n_words >= 10) & (n_words <= 100000), 0.25).otherwise(0.0)
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 12), 0.25).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.05, 0.25).otherwise(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count (words, numbers,
+    punctuation runs counted separately)."""
+    t = F.col(text_col)
+    ws_tokens = F.size(norm_words(t))
+    regex_tokens = F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    # ~chars/4 heuristic used by LLM token estimators
+    est_bpe = F.ceil(F.length(t) / 4).cast("long")
+    return df.select(
+        F.col(id_col),
+        ws_tokens.alias("ws_tokens"),
+        regex_tokens.alias("regex_tokens"),
+        est_bpe.alias("est_bpe_tokens"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    char_k: int = 8, mod_p: int = 8,
+) -> DataFrame:
+    """0-mod-p winnowing: char k-gram digests ≡ 0 (mod p), sorted distinct.
+
+    The classic document-fingerprint sketch (Broder/Manber style):
+    deterministic, locality-insensitive to small edits."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    n = F.length(norm)
+    grams = F.when(n < char_k, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n - char_k + 1), lambda i: F.substring(norm, 1, char_k) if False else norm.substr(i, F.lit(char_k)))
+    )
+    hashes = F.transform(grams, lambda g: _hash64(g))
+    selected = F.array_sort(F.array_distinct(F.filter(hashes, lambda h: h % mod_p == 0)))
+    return df.select(F.col(id_col), selected.alias("fingerprint"), F.size(selected).alias("fp_size"))
