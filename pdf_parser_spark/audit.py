@@ -1,0 +1,134 @@
+"""Per-partition lineage, metrics, and checkpoint/resume (north rule).
+
+The reference has no persistence beyond per-request logging; the north
+rule requires every stage to write per-partition lineage + extraction
+metrics (docs, bytes, failures, decode fallbacks) to an audit table so
+runs RESUME from the last committed checkpoint.
+
+Design (Iceberg-commit emulation over plain parquet — swap the two
+``_write``/``_read`` helpers for an Iceberg catalog in production):
+
+- the input is split into ``n_buckets`` deterministic url-hash buckets
+  (``pmod(xxhash64(url), n_buckets)``) — the commit unit. A bucket is
+  the batch analog of an Iceberg snapshot: output parquet lands under
+  ``out/bucket=K/`` and ONLY THEN the audit rows for that bucket are
+  appended. A crash between the two leaves an uncommitted bucket that
+  is simply re-done (output overwrite is idempotent per bucket).
+- resume = read the audit table, prune committed buckets from the
+  input BY BUCKET ID (partition pruning — cheaper than the row-level
+  anti-join, which is also provided for mixed-grain recovery).
+- metrics aggregate map-side (groupBy on the small (run, bucket,
+  partition) key) — negligible shuffle at any scale.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import extract_documents
+
+BUCKET_COL = "_bucket"
+
+
+def with_bucket(pages: DataFrame, n_buckets: int) -> DataFrame:
+    return pages.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
+    """AUDIT_SCHEMA rows: one per (bucket, task partition) — lineage of
+    which task produced which slice, with the north rule's counters."""
+    return (
+        extracted.withColumn("_pid", F.spark_partition_id())
+        .groupBy(BUCKET_COL, "_pid")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_bytes").alias("bytes"),
+            F.sum(F.col("error_code").isNotNull().cast("long")).alias("failures"),
+            F.sum("decode_fallbacks").alias("decode_fallbacks"),
+            F.sum((F.col("doc_type") == "pdf").cast("long")).alias("pdf_docs"),
+            F.sum((F.col("doc_type") == "html").cast("long")).alias("html_docs"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.col("_pid").alias("partition_id"),
+            "docs",
+            "bytes",
+            "failures",
+            "decode_fallbacks",
+            "pdf_docs",
+            "html_docs",
+            F.current_timestamp().alias("committed_at"),
+            F.col(BUCKET_COL).alias("bucket"),
+        )
+    )
+
+
+def committed_buckets(spark: SparkSession, audit_path: str) -> List[int]:
+    if not os.path.exists(audit_path):
+        return []
+    audit = spark.read.parquet(audit_path)
+    return [r["bucket"] for r in audit.select("bucket").distinct().collect()]
+
+
+def resume_pending(pages: DataFrame, done_urls: DataFrame) -> DataFrame:
+    """Row-grain resume: anti-join out already-committed urls — the
+    only semi/anti join in the system (SURVEY §4 'Checkpoint/resume')."""
+    return pages.join(done_urls.select("url"), "url", "left_anti")
+
+
+def run_extraction_with_audit(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str,
+    n_buckets: int = 8,
+    mode: str = "first_valid",
+    buckets: Optional[List[int]] = None,
+) -> dict:
+    """Extract bucket-by-bucket with commit-per-bucket semantics.
+
+    Returns {"processed": [...], "skipped": [...], "metrics": {...}}.
+    Already-committed buckets (per the audit table) are pruned BEFORE
+    any work — a restart touches only unfinished buckets.
+    """
+    data_path = os.path.join(out_dir, "extracted")
+    audit_path = os.path.join(out_dir, "audit")
+    done = set(committed_buckets(spark, audit_path))
+    todo = [b for b in (buckets or range(n_buckets)) if b not in done]
+
+    bucketed = with_bucket(pages, n_buckets)
+    totals = {"docs": 0, "failures": 0, "decode_fallbacks": 0, "bytes": 0}
+    for b in todo:
+        part = bucketed.filter(F.col(BUCKET_COL) == b)
+        ext = extract_documents(
+            part.select("url", "warc_ts", "html", "text", "lang"), mode=mode
+        ).withColumn(BUCKET_COL, F.lit(b))
+        # 1) data commit (idempotent per-bucket overwrite)
+        ext.drop(BUCKET_COL).write.mode("overwrite").parquet(
+            os.path.join(data_path, f"bucket={b}")
+        )
+        # 2) audit commit — the bucket is durable only after this append
+        reread = spark.read.parquet(os.path.join(data_path, f"bucket={b}")).withColumn(
+            BUCKET_COL, F.lit(b)
+        )
+        metrics = partition_metrics(reread, run_id)
+        metrics.write.mode("append").parquet(audit_path)
+        agg = (
+            reread.agg(
+                F.count("*").alias("docs"),
+                F.sum(F.col("error_code").isNotNull().cast("long")).alias("failures"),
+                F.sum("decode_fallbacks").alias("fb"),
+                F.sum("n_bytes").alias("bytes"),
+            )
+        ).collect()[0]
+        totals["docs"] += agg["docs"]
+        totals["failures"] += agg["failures"] or 0
+        totals["decode_fallbacks"] += agg["fb"] or 0
+        totals["bytes"] += agg["bytes"] or 0
+    return {"processed": todo, "skipped": sorted(done), "metrics": totals}

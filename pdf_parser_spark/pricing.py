@@ -180,12 +180,22 @@ def compute_pricing(
     acres_land: str = "acres_land",
     floors: str = "floors",
     num_properties: str = "num_properties",
+    rounding: str = "python",
 ) -> DataFrame:
     """One narrow ``select`` adding factors, bids, final bid, payments.
 
     Zero shuffles, zero UDFs, fully whole-stage-codegen'd: the entire
     /quote/compute endpoint (§3.2) as a column expression.
+
+    ``rounding``: ``python`` reproduces CPython ``round()`` (banker's
+    on the exact binary value — the reference's regime,
+    ``tools/pricing_calculator.py:198-204``); ``half_up`` uses
+    decimal-string HALF_UP (``F.round`` — what DuckDB's ``round`` also
+    does, used by the oracle-checked queries). The two differ only on
+    values whose shortest repr terminates exactly at 3 decimals in 5,
+    e.g. ``pay_50_50`` of an odd-cent bid.
     """
+    rnd = py_round if rounding == "python" else F.round
     pp = F.col(purchase_price).cast("double")
     lv = F.col(land_value).cast("double")
     cx = F.col(capex).cast("double") if capex else F.lit(0.0)
@@ -244,17 +254,17 @@ def compute_pricing(
         final = F.least(l, g, m)
     stage3 = stage2.select(
         "*",
-        py_round(l, 2).alias("linear_bid"),
-        py_round(g, 2).alias("logistic_bid"),
-        py_round(m, 2).alias("multi_properties_bid"),
-        py_round(F.greatest(final, F.lit(100.0)), 2).alias("final_bid"),
+        rnd(l, 2).alias("linear_bid"),
+        rnd(g, 2).alias("logistic_bid"),
+        rnd(m, 2).alias("multi_properties_bid"),
+        rnd(F.greatest(final, F.lit(100.0)), 2).alias("final_bid"),
     )
     fb = F.col("final_bid")
     return stage3.select(
         "*",
-        py_round(fb * 0.91, 2).alias("pay_upfront"),
-        py_round(fb / 2, 2).alias("pay_50_50"),
-        py_round(fb / 4, 2).alias("pay_over_time"),
+        rnd(fb * 0.91, 2).alias("pay_upfront"),
+        rnd(fb / 2, 2).alias("pay_50_50"),
+        rnd(fb / 4, 2).alias("pay_over_time"),
     ).drop("_linear_raw", "_logistic_raw", "_multi_raw")
 
 
@@ -266,8 +276,10 @@ def apply_adjustments(
     referral: str = "referral",
     price_override: Optional[str] = "price_override",
     referral_uplift: float = 0.10,
+    rounding: str = "python",
 ) -> DataFrame:
     """F11 adjustment stack (service/calculator_adapter.py:60-95)."""
+    rnd = py_round if rounding == "python" else F.round
     base = F.col(base_quote)
     rush_fee = map_chain(F.col(rush), RUSH_FEES, 0.0)
     premium_amt = F.when(F.col(premium) == "Yes", base * 0.05).otherwise(F.lit(0.0))
@@ -279,7 +291,7 @@ def apply_adjustments(
     return df.select(
         "*",
         rush_fee.alias("rush_fee"),
-        py_round(adjusted, 2).alias("final_quote"),
+        rnd(adjusted, 2).alias("final_quote"),
     )
 
 

@@ -1,0 +1,651 @@
+"""Driver-contract queries: relational coverage + training-data ops.
+
+Relational/TPC-H-ish (exercising scans, pushdown, broadcast joins,
+aggregation, windows, sorts/limits, anti-join resume — SURVEY §2.1-2.8
+at driver-table scale), streaming analogs on ``events`` (§2.11), and
+the north-rule training-data operators (textops/simsearch/multimodal).
+
+Float-parity: every big aggregate sums DECIMAL(18,x) (exact, order-
+independent) and casts the result to double — a double-sum would be
+partition-order nondeterministic on BOTH engines.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import simsearch, textops
+
+_EN = textops.STOPWORDS["en"]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ----------------------------------------------------------------------
+# TPC-H-ish relational coverage
+# ----------------------------------------------------------------------
+def q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-shape scan+filter+groupBy; the date filter must push to the
+    parquet scan (asserted in tests via .explain)."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit("2001-09-01").cast("date")
+    )
+    disc = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,6)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+        F.sum(disc).cast("double").alias("sum_disc_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS n_rows
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_nation_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join with both dims broadcast + grouped agg + top-k."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc())
+        .limit(10)
+    )
+
+
+SQL_NATION_REVENUE_TOPK = """
+SELECT n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY revenue DESC LIMIT 10
+"""
+
+
+def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpoint-resume shape (SURVEY §4): committed keys anti-
+    joined out of the input before reprocessing."""
+    o = _read(spark, sf_dir, "orders")
+    done = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    pending = o.join(done, "o_orderkey", "left_anti")
+    return pending.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_pending"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("pending_value"),
+    )
+
+
+SQL_RESUME_ANTI_JOIN = """
+SELECT o_orderstatus, count(*) AS n_pending,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS pending_value
+FROM orders WHERE o_orderkey % 3 <> 0
+GROUP BY o_orderstatus
+"""
+
+
+def q_window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: running total, decimal-exact."""
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double").alias("cum_qty"),
+    )
+
+
+SQL_WINDOW_CUMSUM = """
+SELECT l_orderkey, l_linenumber,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+         PARTITION BY l_orderkey ORDER BY l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_qty
+FROM lineitem WHERE l_orderkey % 10 = 0
+"""
+
+
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: lag-difference per user over the events stream table."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value", 1, 0.0).over(w)).alias("delta"),
+    )
+
+
+SQL_WINDOW_LAG_DELTA = """
+SELECT event_id, user_id,
+       value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+FROM events
+"""
+
+
+def q_year_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W4: explode(sequence(...)) year grid."""
+    n = _read(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.explode(F.sequence(F.lit(1), F.lit(3) + F.col("n_nationkey") % 5)).alias("year"),
+    ).select(
+        "n_nationkey",
+        F.col("year").cast("int").alias("year"),
+        (F.lit(2020) + F.col("year") - 1).cast("int").alias("calendar_year"),
+    )
+
+
+SQL_YEAR_GRID = """
+SELECT n_nationkey, CAST(year AS INT) AS year, CAST(2020 + year - 1 AS INT) AS calendar_year
+FROM (SELECT n_nationkey, unnest(generate_series(1, 3 + n_nationkey % 5)) AS year FROM nation) t
+"""
+
+
+# ----------------------------------------------------------------------
+# streaming analogs on events (§2.11)
+# ----------------------------------------------------------------------
+def q_events_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch form of the
+    readStream→window→agg pipeline in streaming.py)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _read(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600).cast("long")
+    return e.groupBy(bucket.alias("bucket_hour")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+SQL_EVENTS_HOUR_WINDOW = """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket_hour,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_draft_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 draft-upsert semantics: last write per key wins."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+SQL_DRAFT_LAST_WRITE_WINS = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, value AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# ----------------------------------------------------------------------
+# dedup family (textops) — corpora with planted duplicates
+# ----------------------------------------------------------------------
+def _dup_corpus(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    if exact:
+        copies = d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
+        )
+    else:
+        copies = d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra token here")).alias("text"),
+        )
+    return d.unionByName(copies)
+
+
+_SQL_EXACT_CORPUS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+_SQL_NEAR_CORPUS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' extra token here' AS text
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+# shared SQL fragments mirroring textops.norm_words / word_shingles(k=3)
+_SQL_WORDS = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+_SQL_SHINGLES = (
+    "(CASE WHEN len(words) < 3 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_transform(generate_series(1, len(words) - 2), "
+    "i -> array_to_string(words[i:i+2], ' ')) END)"
+)
+_SQL_HASH64 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir, exact=True)
+    groups = textops.exact_duplicates(corpus)
+    return groups.select(
+        "digest",
+        "canonical_id",
+        "n_docs",
+        F.array_join(F.transform(F.col("doc_ids"), lambda x: x.cast("string")), ",").alias(
+            "doc_ids_str"
+        ),
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+WITH corpus AS ({_SQL_EXACT_CORPUS})
+SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_docs,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_str
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir, exact=False)
+    return textops.lsh_band_pairs(corpus).select("id_a", "id_b")
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH corpus AS ({_SQL_NEAR_CORPUS}),
+sh AS (
+  SELECT doc_id, {_SQL_SHINGLES.replace('words', _SQL_WORDS)} AS shingles FROM corpus
+),
+sigs AS (
+  SELECT doc_id, i.hash_idx,
+         list_min(list_transform(shingles, s -> md5(CAST(i.hash_idx AS VARCHAR) || ':' || s))) AS min_hash
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS hash_idx) i
+),
+sigs2 AS (SELECT * FROM sigs WHERE min_hash IS NOT NULL),
+banded AS (
+  SELECT doc_id, band_idx, md5(array_to_string(list_sort(list(min_hash)), '|')) AS band_key
+  FROM (SELECT doc_id, CAST(floor(hash_idx / 3) AS INT) AS band_idx, min_hash FROM sigs2) t
+  GROUP BY doc_id, band_idx
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir, exact=False)
+    return textops.ngram_jaccard_pairs(corpus, threshold=0.5)
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH corpus AS ({_SQL_NEAR_CORPUS}),
+shd AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES.replace('words', _SQL_WORDS)})) AS s
+  FROM corpus
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    return textops.simhash(d)
+
+
+def _sql_dedup_simhash() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, x -> (x >> {j}) & 1)) * 2 > n_words"
+        f" THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(32)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS words FROM documents WHERE doc_id % 4 = 0
+),
+h AS (
+  SELECT doc_id, len(words) AS n_words,
+         list_transform(words, x -> {_SQL_HASH64.format(x='x')}) AS hs
+  FROM w
+)
+SELECT doc_id, ({terms}) AS simhash, CAST(n_words AS INT) AS n_words FROM h
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _dup_corpus(spark, sf_dir, exact=False)
+    sims = textops.simhash(corpus)
+    return textops.simhash_pairs(sims).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    base = _sql_dedup_simhash().replace(
+        "FROM documents WHERE doc_id % 4 = 0", f"FROM ({_SQL_NEAR_CORPUS}) c"
+    )
+    return f"""
+WITH s AS ({base})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ----------------------------------------------------------------------
+# language id / quality / tokens / fingerprint
+# ----------------------------------------------------------------------
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.language_id(_read(spark, sf_dir, "documents"))
+
+
+def _sql_language_id() -> str:
+    def hits(lang: str) -> str:
+        lst = "[" + ", ".join(f"'{w}'" for w in textops.STOPWORDS[lang]) + "]"
+        return f"len(list_filter(words, w -> list_contains({lst}, w)))"
+
+    langs = list(textops.STOPWORDS)
+    hit_cols = ", ".join(f"{hits(lg)} AS hits_{lg}" for lg in langs)
+    mx = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    pred = " ".join(f"WHEN hits_{lg} = {mx} THEN '{lg}'" for lg in langs)
+    return f"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+h AS (SELECT doc_id, CAST(len(words) AS INT) AS n_words, {hit_cols} FROM w)
+SELECT doc_id, n_words, {', '.join('CAST(hits_' + lg + ' AS INT) AS hits_' + lg for lg in langs)},
+       (CASE WHEN {mx} = 0 THEN 'und' {pred} END) AS lang_pred
+FROM h
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_score(_read(spark, sf_dir, "documents"))
+
+
+def _sql_quality_score() -> str:
+    en = "[" + ", ".join(f"'{w}'" for w in _EN) + "]"
+    punct_cls = "[!\"#$%&''()*+,\\-./:;<=>?@\\[\\]^_`{|}~]"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n_chars, {_SQL_WORDS} AS words FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars, CAST(len(words) AS INT) AS n_words,
+         CASE WHEN len(words) > 0 THEN length(array_to_string(words, '')) / len(words) ELSE 0.0 END AS mwl,
+         (n_chars - length(regexp_replace(text, '{punct_cls}', '', 'g'))) AS n_punct,
+         len(list_filter(words, w -> list_contains({en}, w))) AS sw_hits,
+         (n_chars - length(regexp_replace(text, '[A-Z]', '', 'g'))) AS n_upper
+  FROM base
+),
+r AS (
+  SELECT doc_id, CAST(n_chars AS INT) AS n_chars, n_words, mwl,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS pr,
+         CASE WHEN n_words > 0 THEN sw_hits / n_words ELSE 0.0 END AS sr,
+         CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END AS ur,
+         (CASE WHEN n_words BETWEEN 10 AND 100000 THEN CAST(0.25 AS DOUBLE) ELSE 0.0 END
+          + CASE WHEN mwl >= 3 AND mwl <= 12 THEN CAST(0.25 AS DOUBLE) ELSE 0.0 END) AS s1,
+         (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) <= 0.2
+               THEN CAST(0.25 AS DOUBLE) ELSE 0.0 END
+          + CASE WHEN (CASE WHEN n_words > 0 THEN sw_hits / n_words ELSE 0.0 END) >= 0.05
+               THEN CAST(0.25 AS DOUBLE) ELSE 0.0 END) AS s2
+  FROM m
+)
+SELECT doc_id, n_chars, n_words,
+       round(mwl, 6) AS mean_word_len,
+       round(pr, 6) AS punct_ratio,
+       round(sr, 6) AS stop_ratio,
+       round(ur, 6) AS upper_ratio,
+       (s1 + s2) AS quality_score
+FROM r
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_counts(_read(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len({_SQL_WORDS}) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS regex_tokens,
+       CAST(ceil(length(text) / 4) AS BIGINT) AS est_bpe_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    fp = textops.fingerprint(d)
+    return fp.select(
+        "doc_id",
+        F.array_join(F.transform(F.col("fingerprint"), lambda x: x.cast("string")), ",").alias(
+            "fp_str"
+        ),
+        F.col("fp_size").cast("int").alias("fp_size"),
+    )
+
+
+SQL_FINGERPRINT = f"""
+WITH n AS (
+  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id % 3 = 0
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN length(norm) < 8 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(generate_series(1, length(norm) - 7), i -> substr(norm, i, 8))
+         END AS grams
+  FROM n
+),
+sel AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_filter(
+           list_transform(grams, x -> {_SQL_HASH64.format(x='x')}), h -> h % 8 = 0))) AS fp
+  FROM g
+)
+SELECT doc_id,
+       array_to_string(list_transform(fp, x -> CAST(x AS VARCHAR)), ',') AS fp_str,
+       CAST(len(fp) AS INT) AS fp_size
+FROM sel
+"""
+
+
+# ----------------------------------------------------------------------
+# similarity search
+# ----------------------------------------------------------------------
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = simsearch.cosine_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT q.query_id, c.vec_id,
+         list_inner_product(c.v, q.qv)
+           / (sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(q.qv, q.qv))) AS sim
+  FROM c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(sim, 6) AS cosine_sim
+FROM r WHERE rank <= 10
+"""
+
+
+def q_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (LSH) ANN — no SQL oracle (recall < 1 by design);
+    recall-vs-exact is asserted in tests/test_simsearch.py."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = simsearch.rp_lsh_topk(emb, queries, dim=64, k=10, bits=6, tables=4)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — no SQL oracle (approximate by design)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = simsearch.ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )
+
+
+# ----------------------------------------------------------------------
+# multimodal plumbing: opaque binary column → metadata via mapInPandas
+# ----------------------------------------------------------------------
+def _mm_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for b in batches:
+        rows = []
+        for doc_id, blob in zip(b["doc_id"], b["blob"]):
+            data = bytes(blob)
+            # deterministic fake decode — a real deployment swaps this
+            # for PIL/ffmpeg; the Spark-side plumbing (binary column,
+            # Arrow batching, schema) is identical either way
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "n_bytes": len(data),
+                    "digest": hashlib.md5(data).hexdigest(),
+                    "width": int(data[0]) % 64 + 1 if data else 0,
+                    "height": int(data[1]) % 64 + 1 if len(data) > 1 else 0,
+                }
+            )
+        yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "digest", "width", "height"])
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: documents.text → bytes (stand-in
+    for image/audio payloads) → Arrow-batched metadata extraction."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    return d.mapInPandas(
+        _mm_mapper, schema="doc_id long, n_bytes int, digest string, width int, height int"
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_bytes,
+       md5(text) AS digest,
+       CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INT) AS width,
+       CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INT) AS height
+FROM documents
+"""
+
+
+# ----------------------------------------------------------------------
+# registry
+# ----------------------------------------------------------------------
+def data_queries():
+    return {
+        "lineitem_agg": q_lineitem_agg,
+        "nation_revenue_topk": q_nation_revenue_topk,
+        "resume_anti_join": q_resume_anti_join,
+        "window_cumsum": q_window_cumsum,
+        "window_lag_delta": q_window_lag_delta,
+        "year_grid": q_year_grid,
+        "events_hour_window": q_events_hour_window,
+        "draft_last_write_wins": q_draft_last_write_wins,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_rp_lsh": q_ann_rp_lsh,
+        "ann_ivf": q_ann_ivf,
+        "multimodal_meta": q_multimodal_meta,
+    }
+
+
+def data_oracle_sql():
+    return {
+        "lineitem_agg": SQL_LINEITEM_AGG,
+        "nation_revenue_topk": SQL_NATION_REVENUE_TOPK,
+        "resume_anti_join": SQL_RESUME_ANTI_JOIN,
+        "window_cumsum": SQL_WINDOW_CUMSUM,
+        "window_lag_delta": SQL_WINDOW_LAG_DELTA,
+        "year_grid": SQL_YEAR_GRID,
+        "events_hour_window": SQL_EVENTS_HOUR_WINDOW,
+        "draft_last_write_wins": SQL_DRAFT_LAST_WRITE_WINS,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+        "dedup_jaccard": SQL_DEDUP_JACCARD,
+        "dedup_simhash": _sql_dedup_simhash(),
+        "simhash_pairs": _sql_simhash_pairs(),
+        "language_id": _sql_language_id(),
+        "quality_score": _sql_quality_score(),
+        "token_counts": SQL_TOKEN_COUNTS,
+        "fingerprint": SQL_FINGERPRINT,
+        "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+        # ann_rp_lsh / ann_ivf: approximate — rows-only check on purpose
+        "multimodal_meta": SQL_MULTIMODAL_META,
+    }

@@ -187,24 +187,25 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """
     words = norm_words(F.col(text_col))
     hashes = F.transform(words, lambda w: _hash64(w))
-    counts = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda j: F.aggregate(
+    n = F.size(words)
+    # bit indices are static Python ints (F.shiftright requires a
+    # literal shift), so the per-bit majority vote unrolls at plan time
+    # — still a single pass over the hash array per bit
+    def bit_count(j: int) -> Column:
+        # factory so the aggregate lambda stays 2-ary (PySpark derives
+        # lambda-variable count from the Python signature) and j binds
+        # by value, not by loop-variable reference
+        return F.aggregate(
             hashes,
             F.lit(0).cast("long"),
             lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)),
-        ),
-    )
-    n = F.size(words)
-    sim = F.aggregate(
-        F.zip_with(
-            counts,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda c, j: F.when(c * 2 > n, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+        )
+
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(bit_count(j) * 2 > n, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
     return df.select(F.col(id_col), sim.alias("simhash"), n.alias("n_words"))
 
 
@@ -272,13 +273,17 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
     best = F.greatest(
         *[
-            F.struct(F.col(f"hits_{lg}"), F.lit(len(langs) - i).alias("prio"), F.lit(lg).alias("lang"))
+            F.struct(
+                F.col(f"hits_{lg}").alias("hits"),
+                F.lit(len(langs) - i).alias("prio"),
+                F.lit(lg).alias("lang"),
+            )
             for i, lg in enumerate(langs)
         ]
     )
     return scored.select(
         id_col, "n_words", *[f"hits_{lg}" for lg in langs],
-        F.when(best[f"hits_{langs[0]}"] == 0, F.lit("und")).otherwise(best["lang"]).alias("lang_pred"),
+        F.when(best["hits"] == 0, F.lit("und")).otherwise(best["lang"]).alias("lang_pred"),
     )
 
 

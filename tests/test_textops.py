@@ -1,0 +1,109 @@
+"""textops: planted-duplicate recovery, language id, quality, simhash."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark import textops
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (1, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog and runs away quickly today"),  # near dup
+    (3, "der hund läuft schnell und die katze ist nicht da von dem haus"),
+    (4, "le chat est dans la maison et le chien est pour un moment"),
+    (5, "el perro es grande y la casa es una de las que por ahi"),
+    (6, "completely different content about database engines and query planners here"),
+    (7, "zz zz zz zz"),  # no stopword hits in any language
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    groups = textops.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["canonical_id"] == 0
+    assert sorted(groups[0]["doc_ids"]) == [0, 1]
+
+
+def test_lsh_finds_exact_and_near(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in textops.lsh_band_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    # near-dup 0~2 shares most shingles — at least one band should collide
+    assert (0, 2) in pairs or (1, 2) in pairs
+
+
+def test_jaccard_exact_pair_is_1(spark, docs):
+    rows = textops.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    exact = [r for r in rows if (r["id_a"], r["id_b"]) == (0, 1)]
+    assert exact and exact[0]["jaccard"] == 1.0
+
+
+def test_jaccard_candidates_restrict(spark, docs):
+    cands = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    rows = textops.ngram_jaccard_pairs(docs, threshold=0.0, candidates=cands).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, 1)}
+
+
+def test_simhash_near_dup_close(spark, docs):
+    sims = {r["doc_id"]: r["simhash"] for r in textops.simhash(docs).collect()}
+    assert sims[0] == sims[1]  # identical text → identical simhash
+    ham_near = bin(sims[0] ^ sims[2]).count("1")
+    ham_far = bin(sims[0] ^ sims[6]).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_pairs_blocking_complete(spark, docs):
+    """Blocked join must equal the brute-force hamming<=3 pair set
+    (pigeonhole: 4 blocks, <=3 differing bits)."""
+    sims = textops.simhash(docs)
+    got = {(r["id_a"], r["id_b"]) for r in textops.simhash_pairs(sims, max_hamming=3).collect()}
+    vals = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+    want = {
+        (a, b)
+        for a in vals
+        for b in vals
+        if a < b and bin(vals[a] ^ vals[b]).count("1") <= 3
+    }
+    assert got == want
+
+
+def test_language_id(spark, docs):
+    preds = {r["doc_id"]: r["lang_pred"] for r in textops.language_id(docs).collect()}
+    assert preds[0] == "en"
+    assert preds[3] == "de"
+    assert preds[4] == "fr"
+    assert preds[5] == "es"
+    assert preds[7] == "und"
+
+
+def test_quality_score_signals(spark, docs):
+    rows = {r["doc_id"]: r for r in textops.quality_score(docs).collect()}
+    assert rows[0]["quality_score"] >= 0.75  # clean english sentence
+    assert rows[7]["quality_score"] <= 0.5  # repetitive no-stopword junk
+    assert rows[0]["n_words"] == 13
+    assert rows[0]["stop_ratio"] > 0.2
+
+
+def test_token_counts(spark, docs):
+    r = {x["doc_id"]: x for x in textops.token_counts(docs).collect()}
+    assert r[0]["ws_tokens"] == 13
+    assert r[0]["regex_tokens"] == 13  # pure words, no punctuation
+    assert r[0]["est_bpe_tokens"] == -(-len(DOCS[0][1]) // 4)
+
+
+def test_fingerprint_stable_under_whitespace(spark):
+    df = spark.createDataFrame(
+        [(0, "some document content here for fingerprinting purposes"),
+         (1, "some   document\n content here  for fingerprinting purposes")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["fingerprint"] for r in textops.fingerprint(df).collect()}
+    assert rows[0] == rows[1]  # whitespace-normalized → identical sketch
+    assert len(rows[0]) > 0
