@@ -52,10 +52,10 @@ def noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def extraction_pipeline(spark, corpus_path: str):
+def extraction_pipeline(spark, corpus_path: str, parallelism: int = None):
     """The flagship job: read → salt → parse → record → validate."""
     pages = spark.read.parquet(corpus_path)
-    ext = extract_documents(salted(pages, parallelism=CPUS))
+    ext = extract_documents(salted(pages, parallelism=parallelism or CPUS))
     rec = extract_record(ext, mode="typed")
     return with_validation(rec, mode="typed", strict_quirk=False)
 

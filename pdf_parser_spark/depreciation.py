@@ -436,3 +436,325 @@ def macrs_table_df(spark: SparkSession) -> DataFrame:
             for m, pct in enumerate(months, 1):
                 rows.append((cls, y, m, float(pct)))
     return spark.createDataFrame(rows, "asset_class string, year int, month int, pct double")
+
+
+# ----------------------------------------------------------------------
+# F15: Decimal-faithful basis allocation with cent reconciliation
+# (RCGV .../cost_seg_calculator.py:307-365)
+# ----------------------------------------------------------------------
+def with_cent_allocations(df: DataFrame) -> DataFrame:
+    """Adds alloc-cent columns (camt_5yr..camt_bldg) such that the
+    amounts are cent-quantized and sum EXACTLY to the basis:
+
+    - percent-or-fraction normalization (pct>1 ⇒ /100, §1.2 idiom),
+    - residual percentage dumped into building (`:350-353`),
+    - per-class rounding to cents (ROUND_HALF_UP ≙ F.round),
+    - final cent-fix: building absorbs ``basis − Σ amounts`` (`:360-363`).
+
+    Requires with_engine_inputs columns (amt_* are the float-engine
+    allocations; percentages are re-derived from them).
+    """
+    basis = F.col("total_depreciable")
+    safe = F.when(basis == 0.0, F.lit(1.0)).otherwise(basis)
+    p5 = F.col("amt_5yr") / safe
+    p7 = F.col("amt_7yr") / safe
+    p15 = F.col("amt_15yr") / safe
+    # building absorbs the normalization residual
+    pb = F.lit(1.0) - (p5 + p7 + p15)
+    a5 = F.round(basis * p5, 2)
+    a7 = F.round(basis * p7, 2)
+    a15 = F.round(basis * p15, 2)
+    ab = F.round(basis * pb, 2)
+    diff = F.round(basis, 2) - (a5 + a7 + a15 + ab)
+    ab_fixed = F.round(ab + diff, 2)
+    return df.select(
+        "*",
+        a5.alias("camt_5yr"),
+        a7.alias("camt_7yr"),
+        a15.alias("camt_15yr"),
+        ab_fixed.alias("camt_bldg"),
+    )
+
+
+# ----------------------------------------------------------------------
+# D9: remaining basis / remaining life per class
+# (RCGV .../cost_seg_calculator.py:461-518)
+# ----------------------------------------------------------------------
+TOTAL_LIFE = {"5yr": 6, "7yr": 8, "15yr": 16, "27.5yr": 29, "39yr": 40}
+
+
+def remaining_basis_cols(year: Column, bonus: Column) -> Dict[str, Column]:
+    """max(0, allocated − accumulated(year)) per class."""
+    acc = accumulated_cols(year, bonus)
+    return {
+        "rem_5yr": F.greatest(F.lit(0.0), F.col("amt_5yr") - acc["acc_5yr"]),
+        "rem_7yr": F.greatest(F.lit(0.0), F.col("amt_7yr") - acc["acc_7yr"]),
+        "rem_15yr": F.greatest(F.lit(0.0), F.col("amt_15yr") - acc["acc_15yr"]),
+        "rem_bldg": F.greatest(F.lit(0.0), F.col("amt_bldg") - acc["acc_bldg"]),
+    }
+
+
+def life_remaining_cols(year: Column, bonus: Column) -> Dict[str, Column]:
+    """Remaining life as strings — short classes report 'Complete' once
+    a 100% bonus has expensed them (`:505-516`)."""
+    out = {}
+    for cls in SHORT_CLASSES:
+        total = TOTAL_LIFE[cls]
+        rem = F.greatest(F.lit(0), F.lit(total) - year)
+        out[f"life_{cls.replace('yr', '')}yr"] = (
+            F.when((bonus == 100.0) & (year >= 1), F.lit("Complete"))
+            .otherwise(rem.cast("string"))
+        )
+    bldg_total = (
+        F.when(F.col("building_class") == "27.5yr", TOTAL_LIFE["27.5yr"])
+        .when(F.col("building_class") == "39yr", TOTAL_LIFE["39yr"])
+        .otherwise(0)
+    )
+    out["life_bldg"] = F.greatest(F.lit(0), bldg_total - year).cast("string")
+    return out
+
+
+# ----------------------------------------------------------------------
+# D7/A3: CapEx pools — array<struct> column, per-pool engine, class agg
+# (RCGV .../cost_seg_calculator.py:520-620)
+# ----------------------------------------------------------------------
+CAPEX_CLASS_MAP = {
+    "QIP": "15yr", "5_year": "5yr", "7_year": "7yr", "15_year": "15yr",
+    "27_5_year": "27.5yr", "39_year": "39yr",
+}
+CAPEX_CLASSES = ["5yr", "7yr", "15yr", "27.5yr", "39yr"]
+
+
+def _pool_class(p: Column) -> Column:
+    expr = None
+    for k, v in CAPEX_CLASS_MAP.items():
+        cond = p["classification"] == k
+        expr = F.when(cond, v) if expr is None else expr.when(cond, v)
+    return expr.otherwise(F.lit("5yr"))  # default (`:142-143`)
+
+
+def _pool_bonus(p: Column) -> Column:
+    return F.coalesce(p["bonus_override"], bonus_rate_expr(p["pis_date"]))
+
+
+def _pool_year_dep(p: Column, target_year: Column) -> Column:
+    """One pool's depreciation in calendar ``target_year`` (`:520-566`).
+
+    Quirk preserved: a ZERO-bonus short-life pool takes nothing in its
+    first year (the reference's elif-chain has no bonus==0 year-1 arm)."""
+    dy = target_year - F.year(p["pis_date"]) + 1
+    amt = p["amount"]
+    b = _pool_bonus(p)
+    bf = b / 100.0
+    cls = _pool_class(p)
+    short = None
+    for c in SHORT_CLASSES:
+        y1 = amt * bf + amt * (1.0 - bf) * _hy_pct(c, F.lit(1), False) / 100.0
+        later = amt * (1.0 - bf) * _hy_pct(c, dy, False) / 100.0
+        val = (
+            F.when((b == 100.0) & (dy == 1), amt)
+            .when((b > 0.0) & (dy == 1), y1)
+            .when((b < 100.0) & (dy > 1), later)
+            .otherwise(F.lit(0.0))
+        )
+        cond = cls == c
+        short = F.when(cond, val) if short is None else short.when(cond, val)
+    long_dep = amt * _mm_pct(cls, dy, F.month(p["pis_date"]), False) / 100.0
+    return F.when(dy < 1, F.lit(0.0)).otherwise(short.otherwise(long_dep))
+
+
+def _pool_acc_dep(p: Column, target_year: Column) -> Column:
+    """One pool's accumulated depreciation through ``target_year`` (`:568-600`)."""
+    dyc = target_year - F.year(p["pis_date"]) + 1
+    amt = p["amount"]
+    b = _pool_bonus(p)
+    bf = b / 100.0
+    cls = _pool_class(p)
+    short = None
+    for c in SHORT_CLASSES:
+        acc = amt * bf + amt * (1.0 - bf) * _hy_pct(c, dyc, True) / 100.0
+        val = F.when(b == 100.0, amt).otherwise(acc)
+        cond = cls == c
+        short = F.when(cond, val) if short is None else short.when(cond, val)
+    long_acc = amt * _mm_pct(cls, dyc, F.month(p["pis_date"]), True) / 100.0
+    return F.when(dyc < 1, F.lit(0.0)).otherwise(short.otherwise(long_acc))
+
+
+def capex_class_totals(pools: Column, target_year: Column, accumulated: bool = False) -> Dict[str, Column]:
+    """A3: per-class sums over the pool array — explode-free
+    ``aggregate(filter(...))``, partition-local at any scale."""
+    fn = _pool_acc_dep if accumulated else _pool_year_dep
+    out = {}
+    for c in CAPEX_CLASSES:
+        sel = F.filter(pools, lambda p: _pool_class(p) == c)
+        out[c] = F.aggregate(sel, F.lit(0.0), lambda acc, p: acc + fn(p, target_year))
+    return out
+
+
+def with_481a_capex(df: DataFrame, pools_col: str = "capex_items") -> DataFrame:
+    """D6 CapEx-pool-aware 481(a) (`:622-690`): should-have adds pool
+    accumulation through the PRIOR calendar year, current-year adds the
+    pools' CSS-year depreciation."""
+    pools = F.col(pools_col)
+    ye = F.col("years_elapsed")
+    tax_year = F.col("acq_year") + ye
+    bonus = F.col("bonus_rate")
+
+    acc = accumulated_cols(ye, bonus)
+    base_should = acc["acc_5yr"] + acc["acc_7yr"] + acc["acc_15yr"] + acc["acc_bldg"]
+    capex_acc = capex_class_totals(pools, tax_year - 1, accumulated=True)
+    should = base_should + sum(capex_acc.values(), F.lit(0.0))
+
+    did_take = standard_depreciation(ye)
+
+    cur = year_depreciation_cols(ye + 1, bonus)
+    y1 = year_depreciation_cols(F.lit(1), bonus)
+    capex_cur = capex_class_totals(pools, tax_year, accumulated=False)
+    capex_cur_total = sum(capex_cur.values(), F.lit(0.0))
+    cur_total = cur["dep_5yr"] + cur["dep_7yr"] + cur["dep_15yr"] + cur["dep_bldg"] + capex_cur_total
+    y1_total = y1["dep_5yr"] + y1["dep_7yr"] + y1["dep_15yr"] + y1["dep_bldg"] + capex_cur_total
+
+    zero = ye == 0
+    return df.select(
+        "*",
+        F.when(zero, 0.0).otherwise(should).alias("should_have_taken"),
+        F.when(zero, 0.0).otherwise(did_take).alias("did_take"),
+        F.when(zero, 0.0).otherwise(should - did_take).alias("catch_up_adjustment"),
+        F.when(zero, y1_total).otherwise(cur_total).alias("current_year_total"),
+        F.when(zero, y1_total).otherwise(should - did_take + cur_total).alias(
+            "total_current_year_benefit"
+        ),
+    )
+
+
+# ----------------------------------------------------------------------
+# A5 + D11: lifetime totals (closed form) and reconciliation invariant
+# (`:760-807`; RCGV .../service/api.py:647-707)
+# ----------------------------------------------------------------------
+def with_lifetime_totals(df: DataFrame, pools_col: Optional[str] = None) -> DataFrame:
+    """Closed-form lifetime totals from CSS year forward: standard
+    depreciates only the base; traditional/bonus add CapEx."""
+    basis = F.col("total_depreciable")
+    ye = F.col("years_elapsed")
+    sl_prior = F.when(ye > 0, standard_depreciation(ye)).otherwise(F.lit(0.0))
+    capex_total = (
+        F.aggregate(F.col(pools_col), F.lit(0.0), lambda acc, p: acc + p["amount"])
+        if pools_col
+        else F.lit(0.0)
+    )
+    std = basis - sl_prior
+    trad = basis - sl_prior + capex_total
+    return df.select(
+        "*",
+        F.round(std, 2).alias("lifetime_standard"),
+        F.round(trad, 2).alias("lifetime_traditional"),
+        F.round(trad, 2).alias("lifetime_bonus"),
+    )
+
+
+def reconcile_schedule(schedule: DataFrame, keys: List[str], tolerance: float = 0.01) -> DataFrame:
+    """D11: per-document check that the generated schedule's column sums
+    equal the closed-form lifetime totals (base property, no CapEx) —
+    the invariant the reference enforces with an HTTP 400.
+
+    The schedule's std_dep column only covers the horizon years, so the
+    standard total is checked against accumulated SL at horizon end; the
+    bonus/trad columns must sum to the full remaining basis.
+    """
+    tot = schedule.groupBy(*keys, "total_depreciable", "years_elapsed", "building_class", "pis_month").agg(
+        F.sum("bonus_dep").alias("sum_bonus"),
+        F.sum("trad_cost_seg").alias("sum_trad"),
+        F.sum("std_dep").alias("sum_std"),
+        F.max("year").alias("horizon"),
+    )
+    expected_bonus = F.col("total_depreciable")
+    std_at_horizon = F.col("total_depreciable") * _mm_pct(
+        F.col("building_class"), F.col("horizon"), F.col("pis_month"), True
+    ) / 100.0
+    return tot.select(
+        *keys,
+        F.round(F.col("sum_bonus"), 2).alias("sum_bonus"),
+        F.round(expected_bonus, 2).alias("expected_bonus"),
+        (F.abs(F.col("sum_bonus") - expected_bonus) <= tolerance).alias("bonus_reconciled"),
+        (F.abs(F.col("sum_std") - std_at_horizon) <= tolerance).alias("std_reconciled"),
+        (F.abs(F.col("sum_trad") - expected_bonus) <= tolerance).alias("trad_reconciled"),
+    )
+
+
+# ----------------------------------------------------------------------
+# RCGV engine variant stage-1 (RCGV .../cost_seg_calculator.py:146-292)
+# ----------------------------------------------------------------------
+# Excel-matched 8-decimal bases (`:246-267`); MF has no 7yr class
+RCGV_BASES = {
+    "multi-family": {"5yr": 0.08926036, "7yr": 0.0, "15yr": 0.27500630, "bldg": 0.63573334},
+    "commercial": {"5yr": 0.07000000, "7yr": 0.01926036, "15yr": 0.27500630, "bldg": 0.63573334},
+}
+
+
+def with_engine_inputs_rcgv(
+    df: DataFrame,
+    purchase_price: str = "purchase_price",
+    land_value: str = "land_value",
+    capex: str = "capex",
+    pad: str = "pad",
+    deferred_gain: str = "deferred_gain",
+    acquisition_date: str = "acquisition_date",
+    css_date: str = "css_date",
+    property_type: str = "property_type",
+    year_built: str = "year_built",
+    pools_col: Optional[str] = None,
+) -> DataFrame:
+    """RCGV-variant stage 1 — differs from :func:`with_engine_inputs` in
+    three reference-verified ways:
+
+    - basis EXCLUDES legacy capex when ``capex_items`` pools are present
+      (`:209-212`),
+    - Excel-matched 8-decimal base allocations, no 7yr for MF (`:246-267`),
+    - age adjustment measured at the CSS year, not acquisition year
+      (`:270-275`).
+    """
+    pp = F.col(purchase_price).cast("double")
+    lv = F.col(land_value).cast("double")
+    cx = F.coalesce(F.col(capex).cast("double"), F.lit(0.0))
+    pd_ = F.coalesce(F.col(pad).cast("double"), F.lit(0.0))
+    dg = F.coalesce(F.col(deferred_gain).cast("double"), F.lit(0.0))
+    acq = F.col(acquisition_date).cast("date")
+    css = F.col(css_date).cast("date")
+    yb = F.coalesce(F.col(year_built).cast("int"), F.year(acq))
+
+    base = pp - lv - pd_ - dg
+    if pools_col:
+        has_pools = F.size(F.coalesce(F.col(pools_col), F.array())) > 0
+        total_dep = F.when(has_pools, base).otherwise(base + cx)
+    else:
+        total_dep = base + cx
+
+    is_mf = F.col(property_type) == "multi-family"
+    building_class = F.when(is_mf, F.lit("27.5yr")).otherwise(F.lit("39yr"))
+    bonus = bonus_rate_expr(acq)
+
+    adj = age_adjustment_expr(yb, F.year(css)) * F.lit(0.22)
+    mf, co = RCGV_BASES["multi-family"], RCGV_BASES["commercial"]
+    b5 = F.when(is_mf, F.lit(mf["5yr"])).otherwise(F.lit(co["5yr"]))
+    b7 = F.when(is_mf, F.lit(mf["7yr"])).otherwise(F.lit(co["7yr"]))
+    b15 = F.when(is_mf, F.lit(mf["15yr"])).otherwise(F.lit(co["15yr"]))
+    bb = F.when(is_mf, F.lit(mf["bldg"])).otherwise(F.lit(co["bldg"]))
+    alloc_bldg = bb * (F.lit(1.0) - adj)
+    alloc_15 = b15 + adj * bb
+
+    def amt(pct: Column) -> Column:
+        return total_dep * F.when(pct > 1.0, pct / 100.0).otherwise(pct)
+
+    return df.select(
+        "*",
+        total_dep.alias("total_depreciable"),
+        bonus.alias("bonus_rate"),
+        building_class.alias("building_class"),
+        F.month(acq).alias("pis_month"),
+        F.year(acq).alias("acq_year"),
+        (F.year(css) - F.year(acq)).alias("years_elapsed"),
+        amt(b5).alias("amt_5yr"),
+        amt(b7).alias("amt_7yr"),
+        amt(alloc_15).alias("amt_15yr"),
+        amt(alloc_bldg).alias("amt_bldg"),
+    )

@@ -160,12 +160,17 @@ def extract_documents(pages: DataFrame, mode: str = "first_valid") -> DataFrame:
     return needed.mapInPandas(_make_mapper(mode), schema=EXTRACT_SCHEMA)
 
 
-def salted(pages: DataFrame, parallelism: int, factor: int = 4) -> DataFrame:
+def salted(pages: DataFrame, parallelism: int, factor: int = 2) -> DataFrame:
     """Repartition on url-hash to defuse oversized-document skew.
 
-    ``xxhash64(url) pmod (parallelism*factor)`` spreads jumbo documents
-    uniformly regardless of input file layout (north rule; SURVEY.md §4
-    "Partitioning / shuffle").
+    Partitioning key = the full 64-bit ``xxhash64(url)`` — NOT
+    ``pmod(hash, n)``: pre-modding collapses the key domain to n
+    values which the engine then hash-partitions AGAIN, a balls-in-
+    bins distribution that leaves ~37% of partitions empty and piles
+    multiple buckets onto others (measured 5x skew at n=128). Hashing
+    the full domain gives the uniform spread round-robin would, while
+    staying deterministic in content (north rule: resumable runs must
+    place the same url in the same partition).
     """
     n = max(1, parallelism * factor)
-    return pages.repartition(n, F.pmod(F.xxhash64("url"), F.lit(n)))
+    return pages.repartition(n, F.xxhash64("url"))

@@ -69,7 +69,7 @@ def build_pages_rows(n: int, start: int = 0) -> Iterator[Dict]:
         }
 
 
-def write_pages_parquet(path: str, n: int, rows_per_group: int = 2000) -> None:
+def write_pages_parquet(path: str, n: int, rows_per_group: int = 2000, start: int = 0) -> None:
     """Write the pages table to parquet with pyarrow (no Spark needed)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -86,7 +86,7 @@ def write_pages_parquet(path: str, n: int, rows_per_group: int = 2000) -> None:
     writer = pq.ParquetWriter(path, schema)
     buf: List[Dict] = []
     try:
-        for row in build_pages_rows(n):
+        for row in build_pages_rows(n, start=start):
             buf.append(row)
             if len(buf) >= rows_per_group:
                 writer.write_table(pa.Table.from_pylist(buf, schema=schema))

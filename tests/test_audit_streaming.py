@@ -1,0 +1,128 @@
+"""audit: commit-per-bucket resume; streaming: checkpointed extraction
+and last-write-wins keyed state."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark import audit
+from pdf_parser_spark.streaming import draft_upsert_stream, stream_extract, windowed_event_counts
+
+
+@pytest.fixture()
+def pages_df(spark, pages_parquet):
+    return spark.read.parquet(pages_parquet)
+
+
+def test_audit_commit_and_resume(spark, pages_df, tmp_path):
+    out = str(tmp_path / "out")
+    # first run: only buckets 0 and 1
+    r1 = audit.run_extraction_with_audit(
+        spark, pages_df, out, run_id="r1", n_buckets=4, buckets=[0, 1]
+    )
+    assert r1["processed"] == [0, 1] and r1["skipped"] == []
+    # resume: full range → 0,1 skipped via the audit table, 2,3 done
+    r2 = audit.run_extraction_with_audit(spark, pages_df, out, run_id="r2", n_buckets=4)
+    assert r2["processed"] == [2, 3]
+    assert r2["skipped"] == [0, 1]
+    # third run: nothing left
+    r3 = audit.run_extraction_with_audit(spark, pages_df, out, run_id="r3", n_buckets=4)
+    assert r3["processed"] == []
+    # every input row landed exactly once
+    extracted = spark.read.parquet(os.path.join(out, "extracted"))
+    assert extracted.count() == pages_df.count()
+    assert extracted.select("url").distinct().count() == pages_df.count()
+    # audit table carries the north-rule counters with real lineage
+    adf = spark.read.parquet(os.path.join(out, "audit"))
+    tot = adf.agg(
+        F.sum("docs").alias("docs"), F.sum("failures").alias("f"), F.sum("bytes").alias("b")
+    ).collect()[0]
+    assert tot["docs"] == pages_df.count()
+    assert tot["f"] > 0  # corpus plants corrupt docs — they must be counted, not thrown
+    assert tot["b"] > 0
+    assert adf.select("run_id").distinct().count() >= 2
+
+
+def test_audit_row_grain_resume(spark, pages_df):
+    done = pages_df.select("url").limit(50)
+    pending = audit.resume_pending(pages_df, done)
+    assert pending.count() == pages_df.count() - 50
+
+
+def test_stream_extract_checkpoint_resume(spark, tmp_path):
+    """availableNow drains the backlog; a restart with the same
+    checkpoint skips already-processed files."""
+    from pdf_parser_spark.synth.pages import write_pages_parquet
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    write_pages_parquet(str(in_dir / "part1.parquet"), 40)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    q = stream_extract(spark, str(in_dir), ckpt, out)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 40
+
+    # new file arrives (fresh url range); restart from the same checkpoint
+    write_pages_parquet(str(in_dir / "part2.parquet"), 24, start=40)
+    q2 = stream_extract(spark, str(in_dir), ckpt, out)
+    q2.awaitTermination(120)
+    ext = spark.read.parquet(out)
+    assert ext.count() == 64  # 40 old (not reprocessed) + 24 new
+    assert ext.select("url").distinct().count() == 64
+
+
+def test_draft_upsert_last_write_wins(spark, tmp_path):
+    """S12 semantics through a real stream: per-session dict merge,
+    later payloads overwrite earlier keys."""
+    import pandas as pd
+
+    rows = [
+        ("s1", 1, json.dumps({"name": "A", "price": 1})),
+        ("s1", 2, json.dumps({"price": 2})),
+        ("s2", 1, json.dumps({"zip": "85260"})),
+        ("s1", 3, json.dumps({"rush": "No Rush"})),
+    ]
+    src_dir = tmp_path / "updates"
+    src_dir.mkdir()
+    pd.DataFrame(rows, columns=["session_id", "ts", "payload_json"]).to_parquet(
+        src_dir / "u1.parquet"
+    )
+    updates = (
+        spark.readStream.schema("session_id string, ts long, payload_json string")
+        .parquet(str(src_dir))
+    )
+    out = draft_upsert_stream(updates)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("drafts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["session_id"]: json.loads(r["draft_json"]) for r in spark.sql("select * from drafts").collect()}
+    assert got["s1"] == {"name": "A", "price": 2, "rush": "No Rush"}
+    assert got["s2"] == {"zip": "85260"}
+
+
+def test_windowed_event_counts_batch(spark):
+    """Window aggregation shape (batch-mode check of the streaming agg)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (base + dt.timedelta(minutes=m), m % 3, float(m)) for m in range(0, 150, 10)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    out = windowed_event_counts(df, window="1 hour", watermark="2 hours").collect()
+    assert len(out) == 3  # 150 minutes → 3 hour-buckets
+    assert sum(r["n_events"] for r in out) == 15
