@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pdf_parser_spark import pricing
 from pdf_parser_spark.extract import extract_documents, salted
 from pdf_parser_spark.fields import extract_record
+from pdf_parser_spark.queries_capex import capex_oracle_sql, capex_queries
 from pdf_parser_spark.queries_data import data_oracle_sql, data_queries
 from pdf_parser_spark.queries_ref import ref_oracle_sql, ref_queries
 from pdf_parser_spark.validate import with_validation
@@ -109,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {}
     q.update(ref_queries())
     q.update(data_queries())
+    q.update(capex_queries())
     return q
 
 
@@ -118,4 +120,5 @@ def oracle_sql() -> dict[str, str]:
     s = {}
     s.update(ref_oracle_sql())
     s.update(data_oracle_sql())
+    s.update(capex_oracle_sql())
     return s
