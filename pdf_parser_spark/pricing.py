@@ -325,3 +325,71 @@ def ladder_join(df: DataFrame, x: str, dim: DataFrame, how: str = "left") -> Dat
     return df.join(
         F.broadcast(dim), (xc >= dim["lo"]) & (xc < dim["hi"]), how
     ).drop("lo", "hi")
+
+
+# ----------------------------------------------------------------------
+# S4/S5: dimension-table loading with header-pair discovery
+# (engine/quote_calc.py:52-88)
+# ----------------------------------------------------------------------
+def discover_ladder(sheet, header: str, factor_header: str, header_row: int = 2):
+    """S5: locate a (threshold, factor) ladder by scanning ``header_row``
+    for the adjacent header pair (content-addressed, not positional —
+    engine/quote_calc.py:58-62), then read down until a non-numeric
+    threshold. ``sheet`` is a whole-sheet pandas DataFrame (header=None).
+    Returns ascending [(threshold, factor)] like the reference's
+    ``_ladder_lookup`` input.
+    """
+    row = sheet.iloc[header_row]
+    col = None
+    for j in range(len(row) - 1):
+        if str(row[j]).strip() == header and str(row[j + 1]).strip() == factor_header:
+            col = j
+            break
+    if col is None:
+        raise KeyError(f"header pair ({header!r}, {factor_header!r}) not found")
+    out = []
+    for i in range(header_row + 1, len(sheet)):
+        t, f = sheet.iloc[i, col], sheet.iloc[i, col + 1]
+        try:
+            out.append((float(t), float(f)))
+        except (TypeError, ValueError):
+            break
+    out.sort(key=lambda x: x[0])
+    return out
+
+
+def load_ladder_tables(path: str, pairs, sheet_name: str = "VLOOKUP Tables", header_row: int = 2):
+    """S4: one-time driver-side dim load → dict of ladders.
+
+    ``.xlsx`` needs openpyxl (import-gated: absent in this sandbox —
+    the reference's ``pd.read_excel(..., header=None)`` path is
+    preserved verbatim behind the gate); ``.csv`` covers the same
+    whole-sheet-scan semantics dependency-free.
+    """
+    import pandas as pd
+
+    if path.endswith(".xlsx"):
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "xlsx ladders need openpyxl (not in this sandbox); "
+                "export the workbook sheet to csv or install openpyxl"
+            ) from e
+        sheet = pd.read_excel(path, sheet_name=sheet_name, header=None)
+    else:
+        sheet = pd.read_csv(path, header=None)
+    return {h: discover_ladder(sheet, h, fh, header_row) for h, fh in pairs}
+
+
+def ladder_dim_from_table(spark: SparkSession, table, name: str = "factor") -> DataFrame:
+    """Ascending [(threshold, factor)] → the [lo, hi) broadcast dim of
+    :func:`ladder_join` (greatest threshold ≤ x wins; below the first
+    threshold → the reference's ladder returns its pre-scan default,
+    here the first factor — engine/quote_calc.py:93-99 keeps `val`
+    initialized to the first row)."""
+    rows = [(float("-inf"), float(table[0][0]), float(table[0][1]))]
+    for i, (t, f) in enumerate(table):
+        hi = float(table[i + 1][0]) if i + 1 < len(table) else float("inf")
+        rows.append((float(t), hi, float(f)))
+    return spark.createDataFrame(rows, schema=f"lo double, hi double, {name} double")

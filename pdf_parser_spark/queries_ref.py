@@ -796,6 +796,7 @@ def ref_queries():
         "extract_pdf_roundtrip": q_extract_pdf_roundtrip,
         "extract_html_roundtrip": q_extract_html_roundtrip,
         "whitetext_record": q_whitetext_record,
+        "whitetext_record_legacy": q_whitetext_record_legacy,
         "field_formatters": q_field_formatters,
         "validation_battery": q_validation_battery,
         "regex_fields": q_regex_fields,
@@ -817,6 +818,7 @@ def ref_oracle_sql():
         "extract_pdf_roundtrip": SQL_EXTRACT_PDF_ROUNDTRIP,
         "extract_html_roundtrip": SQL_EXTRACT_HTML_ROUNDTRIP,
         "whitetext_record": SQL_WHITETEXT_RECORD,
+        "whitetext_record_legacy": SQL_WHITETEXT_RECORD_LEGACY,
         "field_formatters": SQL_FIELD_FORMATTERS,
         "validation_battery": SQL_VALIDATION_BATTERY,
         "regex_fields": SQL_REGEX_FIELDS,
@@ -831,3 +833,58 @@ def ref_oracle_sql():
         "depr_schedule_totals": _sql_depr_schedule_totals(),
         "sink_row_assembly": SQL_SINK_ROW_ASSEMBLY,
     }
+
+
+# ----------------------------------------------------------------------
+# legacy parser path (P2 marker locate + legacy KV fold + parseFloat)
+# ----------------------------------------------------------------------
+def q_whitetext_record_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parser the app actually ships (src/services/pdfParser.ts):
+    marker-substring item locate on the item ARRAY, no-trim KV fold,
+    JS parseFloat prefix semantics (comma TERMINATES the number —
+    '123,500' parses as 123), missing → ''/0 defaults."""
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    from .fields import legacy_field, marker_item_str, record_map_legacy
+
+    c = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") % 6 == 0)
+    k = F.col("c_custkey")
+    marker = F.concat(
+        F.lit("||Name_of_Prospect: "), F.col("c_name"),
+        F.lit("||Purchase_Price: "), (k % 900).cast("string"), F.lit(",500"),
+        F.lit("||SqFt_Building: "), (k % 50000).cast("string"),
+        F.lit("||Zip_Code: 85260"),
+        F.lit("||Acres_Land: 2.5x"),
+    )
+    mk = lambda s, a: F.struct(  # noqa: E731
+        s.alias("str"),
+        F.array(*[F.lit(float(x)) for x in a]).alias("transform"),
+        F.lit("F1").alias("font_name"),
+    )
+    items = F.array(mk(F.lit("visible decoy text"), [1, 0, 0, 1, 72, 720]), mk(marker, [0, 0, 0, 1, 10, 5]))
+    base = c.select(
+        k.alias("c_custkey"), record_map_legacy(marker_item_str(items)).alias("_m")
+    )
+    m = F.col("_m")
+    return base.select(
+        "c_custkey",
+        legacy_field(m, "Name_of_Prospect", "text").alias("name_of_prospect"),
+        legacy_field(m, "Purchase_Price", "currency").alias("purchase_price"),
+        legacy_field(m, "SqFt_Building", "number").alias("sqft_building"),
+        legacy_field(m, "Zip_Code", "zipcode").alias("zip_code"),
+        legacy_field(m, "Acres_Land", "number").alias("acres_land"),
+        legacy_field(m, "Building_Value", "currency").alias("building_value"),
+        legacy_field(m, "CapEx_Date", "date").alias("capex_date"),
+    )
+
+
+SQL_WHITETEXT_RECORD_LEGACY = """
+SELECT c_custkey,
+       c_name AS name_of_prospect,
+       CAST(c_custkey % 900 AS DOUBLE) AS purchase_price,
+       CAST(c_custkey % 50000 AS DOUBLE) AS sqft_building,
+       '85260' AS zip_code,
+       CAST(2.5 AS DOUBLE) AS acres_land,
+       CAST(0.0 AS DOUBLE) AS building_value,
+       '' AS capex_date
+FROM customer WHERE c_custkey % 6 = 0
+"""

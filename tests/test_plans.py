@@ -1,0 +1,80 @@
+"""Physical-plan shape assertions (SURVEY §4): the optimizations we
+rely on at 100 TB must be visible in .explain — pushdown reaching the
+parquet scan, broadcast joins for the dims, shuffle-free depreciation,
+exactly one exchange in the salted extraction pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import pdf_parser_spark.queries_data as qd
+import pdf_parser_spark.queries_ref as qr
+from pdf_parser_spark.extract import extract_documents, salted
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_and_pruning(spark):
+    p = plan_of(qd.q_lineitem_agg(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in p
+    # column pruning: the scan must not read unused columns
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_broadcast_joins_for_dims(spark):
+    p = plan_of(qd.q_nation_revenue_topk(spark, SF))
+    # formatted mode lists each node in the tree AND a detail section
+    assert p.count(") BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_ladder_is_broadcast_range_join(spark):
+    p = plan_of(qr.q_ladder_range_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "Exchange hashpartitioning" not in p  # fact side never shuffles
+
+
+def test_depreciation_schedule_is_shuffle_free(spark):
+    from pdf_parser_spark import depreciation as dep
+
+    inp = qr._depr_inputs(spark, SF, 101, 0)
+    sched = dep.depreciation_schedule(dep.with_engine_inputs(inp), years=10)
+    p = plan_of(sched)
+    assert "Exchange" not in p  # explode(sequence) + literal lookups only
+    assert ") Generate" in p  # the year-grid explode
+
+
+def test_extraction_single_exchange(spark):
+    pages = spark.createDataFrame(
+        [("u1", None, b"%PDF-x", None, "en")],
+        "url string, warc_ts timestamp_ntz, html binary, text string, lang string",
+    )
+    df = extract_documents(salted(pages, 4))
+    p = plan_of(df)
+    assert p.count(") Exchange") == 1  # exactly the salting repartition
+    assert "ArrowEvalPython" in p or "MapInPandas" in p
+
+
+def test_record_extraction_is_native(spark):
+    """The white-text record path must stay JVM-side: no Python eval
+    nodes, no shuffle."""
+    p = plan_of(qr.q_whitetext_record(spark, SF))
+    assert "Python" not in p
+    assert "Exchange" not in p
+
+
+def test_window_plan(spark):
+    p = plan_of(qd.q_window_cumsum(spark, SF))
+    assert "Window" in p
+    assert "PushedFilters" in p
