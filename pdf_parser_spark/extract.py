@@ -127,21 +127,29 @@ def _extract_one(blob: Optional[bytes], mode: str) -> dict:
     return out
 
 
+_OUT_COLS = [f.name for f in EXTRACT_SCHEMA.fields]
+
+
 def _make_mapper(mode: str):
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
-            rows = []
+            # columnar assembly: list-of-dicts → pd.DataFrame re-infers
+            # every cell (slow with nested spans/meta_items); building
+            # per-column lists keeps batch overhead flat
+            cols = {name: [] for name in _OUT_COLS}
             for url, warc_ts, blob, lang in zip(
-                pdf_batch["url"], pdf_batch["warc_ts"], pdf_batch["html"], pdf_batch["lang"]
+                pdf_batch["url"].tolist(),
+                pdf_batch["warc_ts"].tolist(),
+                pdf_batch["html"].tolist(),
+                pdf_batch["lang"].tolist(),
             ):
                 rec = _extract_one(bytes(blob) if blob is not None else None, mode)
                 rec["url"] = url
                 rec["warc_ts"] = warc_ts
                 rec["lang"] = lang
-                rows.append(rec)
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in EXTRACT_SCHEMA.fields]
-            )
+                for name in _OUT_COLS:
+                    cols[name].append(rec[name])
+            yield pd.DataFrame(cols, columns=_OUT_COLS)
 
     return mapper
 
