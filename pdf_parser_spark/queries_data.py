@@ -28,6 +28,15 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents is a single small parquet file → one input split; the
+    per-doc operators are CPU-heavy, so spread by doc-id hash first
+    (at production scale the table has many files and this is a no-op
+    choice — the operators themselves never require co-location)."""
+    n = spark.sparkContext.defaultParallelism
+    return _read(spark, sf_dir, "documents").repartition(n, "doc_id")
+
+
 # ----------------------------------------------------------------------
 # TPC-H-ish relational coverage
 # ----------------------------------------------------------------------
@@ -218,7 +227,7 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
 # dedup family (textops) — corpora with planted duplicates
 # ----------------------------------------------------------------------
 def _dup_corpus(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     if exact:
         copies = d.filter(F.col("doc_id") % 5 == 0).select(
             (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
@@ -328,7 +337,7 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
     return textops.simhash(d)
 
 
@@ -376,7 +385,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 # language id / quality / tokens / fingerprint
 # ----------------------------------------------------------------------
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.language_id(_read(spark, sf_dir, "documents"))
+    return textops.language_id(_docs(spark, sf_dir))
 
 
 def _sql_language_id() -> str:
@@ -398,7 +407,7 @@ FROM h
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.quality_score(_read(spark, sf_dir, "documents"))
+    return textops.quality_score(_docs(spark, sf_dir))
 
 
 def _sql_quality_score() -> str:
@@ -440,7 +449,7 @@ FROM r
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.token_counts(_read(spark, sf_dir, "documents"))
+    return textops.token_counts(_docs(spark, sf_dir))
 
 
 SQL_TOKEN_COUNTS = f"""
@@ -453,7 +462,7 @@ FROM documents
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
     fp = textops.fingerprint(d)
     return fp.select(
         "doc_id",

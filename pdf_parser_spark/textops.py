@@ -93,18 +93,21 @@ def minhash_signatures(
     ``array_min``/``transform``, no explode, no shuffle.
     """
     words = norm_words(F.col(text_col))
-    sh = word_shingles(words, shingle_k)
+    # materialize shingles as a physical column FIRST: a Column closure
+    # referenced inside a HOF lambda is inlined per reference, so the
+    # shingle build would otherwise re-run once per hash index (12x)
+    shingled = df.select(F.col(id_col), word_shingles(words, shingle_k).alias("_sh"))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
         lambda i: F.struct(
             i.alias("hash_idx"),
             F.array_min(
-                F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+                F.transform(F.col("_sh"), lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
             ).alias("min_hash"),
         ),
     )
     return (
-        df.select(F.col(id_col), F.explode(sig).alias("h"))
+        shingled.select(F.col(id_col), F.explode(sig).alias("h"))
         .select(id_col, F.col("h.hash_idx").alias("hash_idx"), F.col("h.min_hash").alias("min_hash"))
         .filter(F.col("min_hash").isNotNull())
     )
@@ -186,8 +189,16 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     Pure array algebra (transform + aggregate), no explode.
     """
     words = norm_words(F.col(text_col))
-    hashes = F.transform(words, lambda w: _hash64(w))
-    n = F.size(words)
+    # materialize the hash array once — the 32 bit-count aggregates each
+    # reference it, and inlined Column closures would re-hash every word
+    # 32 times
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(words, lambda w: _hash64(w)).alias("_hs"),
+        F.size(words).alias("n_words"),
+    )
+    hashes = F.col("_hs")
+    n = F.col("n_words")
     # bit indices are static Python ints (F.shiftright requires a
     # literal shift), so the per-bit majority vote unrolls at plan time
     # — still a single pass over the hash array per bit
@@ -206,7 +217,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         sim = sim + F.when(bit_count(j) * 2 > n, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
             F.lit(0).cast("long")
         )
-    return df.select(F.col(id_col), sim.alias("simhash"), n.alias("n_words"))
+    return hashed.select(F.col(id_col), sim.alias("simhash"), F.col("n_words"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 32) -> DataFrame:
@@ -264,9 +275,10 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     Ties break by language order en,de,fr,es (greatest-struct trick:
     score desc, then fixed priority)."""
-    words = norm_words(F.col(text_col))
     langs = list(STOPWORDS)
-    scored = df.select(
+    tokenized = df.select(F.col(id_col), norm_words(F.col(text_col)).alias("_w"))
+    words = F.col("_w")
+    scored = tokenized.select(
         F.col(id_col),
         *[stopword_hits(words, lg).alias(f"hits_{lg}") for lg in langs],
         F.size(words).alias("n_words"),
@@ -290,9 +302,10 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Composite quality signals in one pass (all length/replace based
     so the DuckDB oracle is expression-identical)."""
+    base = df.select("*", norm_words(F.col(text_col)).alias("_w"))
     t = F.col(text_col)
     n_chars = F.length(t)
-    words = norm_words(t)
+    words = F.col("_w")
     n_words = F.size(words)
     mean_word_len = F.when(n_words > 0, (F.length(F.array_join(words, "")) / n_words)).otherwise(0.0)
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[!\"#$%&'()*+,\-./:;<=>?@\[\]^_`{|}~]", ""))
@@ -308,7 +321,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + F.when(punct_ratio <= 0.2, 0.25).otherwise(0.0)
         + F.when(stop_ratio >= 0.05, 0.25).otherwise(0.0)
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
