@@ -26,6 +26,7 @@ J4 oracle-checked query in ``__spark_entry__.py``.
 from __future__ import annotations
 
 import datetime
+from functools import lru_cache
 from typing import Dict, List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -101,12 +102,29 @@ def _prefix(vals: List[float]) -> List[float]:
     return out
 
 
+@lru_cache(maxsize=None)
+def _lit_array_cached(vals: Tuple[float, ...]) -> Column:
+    # ONE py4j call (SQL-parsed JVM-side) instead of len(vals) F.lit
+    # round-trips, memoized per table — building these literal tables
+    # element-wise dominated DataFrame CONSTRUCTION time (14s at one
+    # point; execution was 1-4s)
+    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
+
+
+@lru_cache(maxsize=None)
+def _lit_array2_cached(rows: Tuple[Tuple[float, ...], ...]) -> Column:
+    inner = ",".join(
+        "array(" + ",".join(repr(float(v)) + "D" for v in r) + ")" for r in rows
+    )
+    return F.expr("array(" + inner + ")")
+
+
 def _lit_array(vals: List[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
+    return _lit_array_cached(tuple(float(v) for v in vals))
 
 
 def _lit_array2(rows: List[List[float]]) -> Column:
-    return F.array(*[_lit_array(r) for r in rows])
+    return _lit_array2_cached(tuple(tuple(float(v) for v in r) for r in rows))
 
 
 # ----------------------------------------------------------------------
