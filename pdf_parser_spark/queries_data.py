@@ -631,6 +631,9 @@ def data_queries():
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_rp_lsh": q_ann_rp_lsh,
         "ann_ivf": q_ann_ivf,
+        "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "event_sessions": q_event_sessions,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -655,6 +658,74 @@ def data_oracle_sql():
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprint": SQL_FINGERPRINT,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
-        # ann_rp_lsh / ann_ivf: approximate — rows-only check on purpose
+        "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "event_sessions": SQL_EVENT_SESSIONS,
+        # ann_rp_lsh / ann_ivf / embedding_near_dups_lsh: approximate —
+        # rows-only check on purpose
         "multimodal_meta": SQL_MULTIMODAL_META,
     }
+
+
+# ----------------------------------------------------------------------
+# embedding-cosine near-dup pairs + sessionization
+# ----------------------------------------------------------------------
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs (the correctness baseline the LSH
+    variant's candidates are verified against)."""
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
+    out = simsearch.cosine_near_dup_pairs(emb, threshold=0.5)
+    return out.select("id_a", "id_b", F.round(F.col("cosine_sim"), 6).alias("cosine_sim"))
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 3 = 0
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_inner_product(a.v, b.v)
+           / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS sim
+  FROM c a JOIN c b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(sim, 6) AS cosine_sim FROM p WHERE sim >= 0.5
+"""
+
+
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs — approximate (recall < 1), so
+    rows-only in the driver check; recall vs the exact baseline is
+    asserted in tests/test_scale_ops.py."""
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
+    out = simsearch.lsh_near_dup_pairs(emb, dim=64, threshold=0.5, bits=8, tables=6)
+    return out.select("id_a", "id_b", F.round(F.col("cosine_sim"), 6).alias("cosine_sim"))
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream table."""
+    from .streaming import sessionize
+
+    e = _read(spark, sf_dir, "events")
+    out = sessionize(e, gap_minutes=30)
+    return out.select("event_id", "user_id", "session_idx", "session_id")
+
+
+SQL_EVENT_SESSIONS = """
+WITH g AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT event_id, user_id,
+         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g
+)
+SELECT event_id, user_id, CAST(session_idx AS INT) AS session_idx,
+       CAST(user_id AS VARCHAR) || '-' || CAST(session_idx AS VARCHAR) AS session_id
+FROM s
+"""

@@ -305,3 +305,88 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "cosine_sim")
     )
+
+
+# ----------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (north-rule dedup method)
+# ----------------------------------------------------------------------
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT near-dup pairs: cosine ≥ threshold over the upper triangle.
+
+    The correctness baseline (O(n²) — fine for an oracle-checked query;
+    at corpus scale use :func:`lsh_near_dup_pairs`, whose candidates
+    this verifies). Norms are precomputed once per side.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("norm"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    sim = dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    bits: int = 10,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Scale path: candidates = random-hyperplane bucket collisions in
+    any of ``tables`` tables, exact cosine verification on candidates.
+    Recall < 1 by design (collision prob per table = (1−θ/π)^bits for
+    angle θ); at 10^12 rows the corpus shuffles once on (table, bucket).
+    """
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                rp_signature(F.col(vec_col), dim, bits, t, seed).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+    keyed = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("norm"),
+        F.explode(sigs).alias("tb"),
+    ).select("vec_id", "vec", "norm", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .agg(
+            F.first(F.col("a.vec")).alias("va"),
+            F.first(F.col("b.vec")).alias("vb"),
+            F.first(F.col("a.norm")).alias("na"),
+            F.first(F.col("b.norm")).alias("nb"),
+        )
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return cand.select("id_a", "id_b", sim.alias("cosine_sim")).filter(
+        F.col("cosine_sim") >= threshold
+    )

@@ -132,3 +132,37 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: 
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value", "approx_users")
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization (batch form; the streaming twin is
+    ``F.session_window`` which uses the same gap semantics).
+
+    A new session starts when the time since the user's previous event
+    exceeds the gap. session_id = (user, index of session start) —
+    classic lag + running-sum-of-boundaries, two window functions over
+    one (user, ts) sort.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    prev = F.lag(ts_col).over(w)
+    gap = F.unix_timestamp(F.col(ts_col).cast("timestamp")) - F.unix_timestamp(
+        prev.cast("timestamp")
+    )
+    new_session = F.when(prev.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sess_idx = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "*",
+        sess_idx.cast("int").alias("session_idx"),
+        F.concat_ws("-", F.col(user_col).cast("string"), sess_idx.cast("string")).alias(
+            "session_id"
+        ),
+    )
