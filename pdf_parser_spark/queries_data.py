@@ -28,6 +28,13 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings is likewise one small file; vector ops are CPU-heavy
+    interpreted array algebra — spread before computing."""
+    n = spark.sparkContext.defaultParallelism
+    return _read(spark, sf_dir, "embeddings").repartition(n, "vec_id")
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents is a single small parquet file → one input split; the
     per-doc operators are CPU-heavy, so spread by doc-id hash first
@@ -502,7 +509,7 @@ FROM sel
 # similarity search
 # ----------------------------------------------------------------------
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -538,7 +545,7 @@ FROM r WHERE rank <= 10
 def q_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (LSH) ANN — no SQL oracle (recall < 1 by design);
     recall-vs-exact is asserted in tests/test_simsearch.py."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -550,7 +557,7 @@ def q_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN — no SQL oracle (approximate by design)."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -672,7 +679,7 @@ def data_oracle_sql():
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs (the correctness baseline the LSH
     variant's candidates are verified against)."""
-    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") % 3 == 0)
     out = simsearch.cosine_near_dup_pairs(emb, threshold=0.5)
     return out.select("id_a", "id_b", F.round(F.col("cosine_sim"), 6).alias("cosine_sim"))
 
@@ -696,7 +703,7 @@ def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup pairs — approximate (recall < 1), so
     rows-only in the driver check; recall vs the exact baseline is
     asserted in tests/test_scale_ops.py."""
-    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") % 3 == 0)
     out = simsearch.lsh_near_dup_pairs(emb, dim=64, threshold=0.5, bits=8, tables=6)
     return out.select("id_a", "id_b", F.round(F.col("cosine_sim"), 6).alias("cosine_sim"))
 
