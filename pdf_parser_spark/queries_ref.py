@@ -808,6 +808,7 @@ def ref_queries():
         "macrs_lookup_join": q_macrs_lookup_join,
         "depr_481a": q_depr_481a,
         "depr_schedule": q_depr_schedule,
+        "depr_schedule_ads": q_depr_schedule_ads,
         "depr_schedule_totals": q_depr_schedule_totals,
         "sink_row_assembly": q_sink_row_assembly,
     }
@@ -830,6 +831,7 @@ def ref_oracle_sql():
         "macrs_lookup_join": _sql_macrs_lookup(),
         "depr_481a": _sql_depr_481a(),
         "depr_schedule": _sql_depr_schedule(),
+        "depr_schedule_ads": _sql_depr_schedule_ads(),
         "depr_schedule_totals": _sql_depr_schedule_totals(),
         "sink_row_assembly": SQL_SINK_ROW_ASSEMBLY,
     }
@@ -887,4 +889,71 @@ SELECT c_custkey,
        CAST(0.0 AS DOUBLE) AS building_value,
        '' AS capex_date
 FROM customer WHERE c_custkey % 6 = 0
+"""
+
+
+# ----------------------------------------------------------------------
+# D8 ADS positive path: real 30/40yr SL-MM tables behind the flag
+# ----------------------------------------------------------------------
+def q_depr_schedule_ads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADS election with ``ads_tables=True`` (the reference's snapshot
+    raises ValueError here — reproduced as the DEFAULT; this query
+    exercises the fixed-mode 30yr/40yr straight-line mid-month tables,
+    bonus forced to 0)."""
+    inp = _depr_inputs(spark, sf_dir, 103, 0).withColumn("ads_flag", F.lit(True))
+    staged = dep.with_engine_inputs(inp, use_ads="ads_flag", ads_tables=True)
+    sched = dep.depreciation_schedule(staged, years=10)
+    return sched.select(
+        "o_orderkey",
+        "year",
+        "building_class",
+        F.col("bonus_rate"),
+        py_round(F.col("depreciation_total"), 2).alias("depreciation_total"),
+        py_round(F.col("accumulated_total"), 2).alias("accumulated_total"),
+        py_round(F.col("std_dep"), 2).alias("std_dep"),
+    )
+
+
+def _sql_depr_schedule_ads() -> str:
+    # stage-1 scalars with ADS remapping: building 30yr/40yr, bonus 0
+    d5 = sqlgen.sql_short_year_dep("amt_5yr", "0.0", "5yr", "year")
+    d7 = sqlgen.sql_short_year_dep("amt_7yr", "0.0", "7yr", "year")
+    d15 = sqlgen.sql_short_year_dep("amt_15yr", "0.0", "15yr", "year")
+    db = sqlgen.sql_bldg_year_dep("amt_bldg", "building_class", "year", "pis_month")
+    a5 = sqlgen.sql_short_acc_dep("amt_5yr", "0.0", "5yr", "year")
+    a7 = sqlgen.sql_short_acc_dep("amt_7yr", "0.0", "7yr", "year")
+    a15 = sqlgen.sql_short_acc_dep("amt_15yr", "0.0", "15yr", "year")
+    ab = sqlgen.sql_bldg_acc_dep("amt_bldg", "building_class", "year", "pis_month")
+    std_y = sqlgen.sql_standard_dep("total_dep", "building_class", "year", "pis_month")
+    std_p = sqlgen.sql_standard_dep("total_dep", "building_class", "(year - 1)", "pis_month")
+    return f"""
+WITH inp AS ({_DEPR_INPUTS_SQL.replace('{mod}', '103').replace('{rem}', '0')}),
+sc AS (
+  SELECT *,
+    (pp - lv + cx - pad - dg) AS total_dep,
+    CASE WHEN property_type = 'multi-family' THEN '30yr' ELSE '40yr' END AS building_class,
+    month(acq) AS pis_month,
+    year(acq) AS acq_year,
+    (0.5 / (1.0 + exp(-0.01 * CAST(year(acq) - year_built AS DOUBLE))) * 0.22) AS adj,
+    CASE WHEN property_type = 'multi-family' THEN {sqlgen.flit(dep.BASE_BUILDING['multi-family'])}
+         ELSE {sqlgen.flit(dep.BASE_BUILDING['commercial'])} END AS base_bldg
+  FROM inp
+),
+amts AS (
+  SELECT *,
+    total_dep * {sqlgen.flit(dep.BASE_ALLOCATIONS['5yr'])} AS amt_5yr,
+    total_dep * {sqlgen.flit(dep.BASE_ALLOCATIONS['7yr'])} AS amt_7yr,
+    total_dep * ({sqlgen.flit(dep.BASE_ALLOCATIONS['15yr'])} + adj * base_bldg) AS amt_15yr,
+    total_dep * (base_bldg * (1.0 - adj)) AS amt_bldg
+  FROM sc
+),
+grid AS (
+  SELECT a.*, CAST(y.year AS INT) AS year
+  FROM amts a CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS year) y
+)
+SELECT o_orderkey, year, building_class, CAST(0.0 AS DOUBLE) AS bonus_rate,
+       round(({d5} + {d7} + {d15} + {db}), 2) AS depreciation_total,
+       round(({a5} + {a7} + {a15} + {ab}), 2) AS accumulated_total,
+       round(({std_y} - {std_p}), 2) AS std_dep
+FROM grid
 """

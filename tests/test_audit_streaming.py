@@ -126,3 +126,45 @@ def test_windowed_event_counts_batch(spark):
     out = windowed_event_counts(df, window="1 hour", watermark="2 hours").collect()
     assert len(out) == 3  # 150 minutes → 3 hour-buckets
     assert sum(r["n_events"] for r in out) == 15
+
+
+def test_windowed_event_counts_streaming_mode(spark, tmp_path):
+    """The same windowed agg as a real stream: file source → watermark →
+    append-mode sink (windows emit on close)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0, tzinfo=dt.timezone.utc)
+    rows = [(base + dt.timedelta(minutes=m), m % 3, float(m)) for m in range(0, 180, 10)]
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    # tz-aware parquet → Spark TIMESTAMP (watermarks reject NTZ)
+    table = pa.Table.from_pylist(
+        [{"ts": r[0], "user_id": r[1], "value": r[2]} for r in rows],
+        schema=pa.schema(
+            [("ts", pa.timestamp("us", tz="UTC")), ("user_id", pa.int64()), ("value", pa.float64())]
+        ),
+    )
+    pq.write_table(table, src / "e1.parquet")
+    stream = spark.readStream.schema("ts timestamp, user_id long, value double").parquet(
+        str(src)
+    )
+    out = windowed_event_counts(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from winagg").collect()
+    # append mode emits only CLOSED windows (watermark passed): the last
+    # hour stays open, the first two close
+    assert len(got) == 2
+    assert sum(r["n_events"] for r in got) == 12
