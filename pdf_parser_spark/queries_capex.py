@@ -223,7 +223,7 @@ def _sql_capex_481a() -> str:
     y1_b = sqlgen.sql_bldg_year_dep("amt_bldg", "building_class", "1", "pis_month")
     cur_dep = _sql_pool_dep("amt", "pb", "cls", "(b.acq_year + b.elapsed - year(pis) + 1)", "month(pis)")
     acc_dep = _sql_pool_acc("amt", "pb", "cls", "((b.acq_year + b.elapsed - 1) - year(pis) + 1)", "month(pis)")
-    return f"""
+    return sqlgen.repr_rounds(f"""
 WITH {_sql_rcgv_scalars(_MOD, 0)},
 {_sql_pool_rows(_MOD, 0).strip().lstrip(',')}
 ,
@@ -255,7 +255,7 @@ SELECT o_orderkey, CAST(n_pools AS INT) AS n_pools,
        round(CASE WHEN elapsed = 0 THEN y1_total ELSE should_have - did_take + cur_total END, 2)
          AS total_current_year_benefit
 FROM agg
-"""
+""")
 
 
 def q_remaining_basis_life(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,12 +294,12 @@ def _sql_remaining_basis_life() -> str:
         [f"round({v}, 2) AS {k}" for k, v in rem.items()]
         + [f"{v} AS {k}" for k, v in life.items()]
     )
-    return f"""
+    return sqlgen.repr_rounds(f"""
 WITH {_sql_rcgv_scalars(_MOD, 1)}
 SELECT o_orderkey,
        {cols}
 FROM amts
-"""
+""")
 
 
 def q_lifetime_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,7 +330,7 @@ def q_lifetime_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_lifetime_reconcile() -> str:
     did = sqlgen.sql_standard_dep("total_dep", "building_class", "elapsed", "pis_month")
-    return f"""
+    return sqlgen.repr_rounds(f"""
 WITH {_sql_rcgv_scalars(_MOD, 2)},
 capex AS (
   SELECT l_orderkey AS o_orderkey, sum(l_extendedprice) AS capex_total
@@ -349,7 +349,7 @@ SELECT o_orderkey,
        round(std, 2) AS expected_standard,
        TRUE AS is_reconciled
 FROM lt
-"""
+""")
 
 
 def capex_queries():

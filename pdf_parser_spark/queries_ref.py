@@ -634,13 +634,13 @@ def q_depr_481a(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dep.with_481a(staged)
     return out.select(
         "o_orderkey",
-        py_round(F.col("total_depreciable"), 2).alias("total_depreciable"),
+        F.round(F.col("total_depreciable"), 2).alias("total_depreciable"),
         F.col("bonus_rate"),
-        py_round(F.col("should_have_taken"), 2).alias("should_have_taken"),
-        py_round(F.col("did_take"), 2).alias("did_take"),
-        py_round(F.col("catch_up_adjustment"), 2).alias("catch_up_adjustment"),
-        py_round(F.col("current_year_total"), 2).alias("current_year_total"),
-        py_round(F.col("total_current_year_benefit"), 2).alias("total_current_year_benefit"),
+        F.round(F.col("should_have_taken"), 2).alias("should_have_taken"),
+        F.round(F.col("did_take"), 2).alias("did_take"),
+        F.round(F.col("catch_up_adjustment"), 2).alias("catch_up_adjustment"),
+        F.round(F.col("current_year_total"), 2).alias("current_year_total"),
+        F.round(F.col("total_current_year_benefit"), 2).alias("total_current_year_benefit"),
     )
 
 
@@ -654,7 +654,7 @@ def _sql_depr_481a() -> str:
     cur7 = sqlgen.sql_short_year_dep("amt_7yr", "bonus_rate", "7yr", "(elapsed + 1)")
     cur15 = sqlgen.sql_short_year_dep("amt_15yr", "bonus_rate", "15yr", "(elapsed + 1)")
     curb = sqlgen.sql_bldg_year_dep("amt_bldg", "building_class", "(elapsed + 1)", "pis_month")
-    return f"""
+    return sqlgen.repr_rounds(f"""
 {_sql_depr_scalars(11, 0)},
 agg AS (
   SELECT o_orderkey, total_dep, bonus_rate,
@@ -672,7 +672,7 @@ SELECT o_orderkey,
        round(cur_total, 2) AS current_year_total,
        round(should_have - did_take + cur_total, 2) AS total_current_year_benefit
 FROM agg
-"""
+""")
 
 
 def q_depr_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,10 +683,10 @@ def q_depr_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "year",
         "calendar_year",
-        py_round(F.col("depreciation_total"), 2).alias("depreciation_total"),
-        py_round(F.col("accumulated_total"), 2).alias("accumulated_total"),
-        py_round(F.col("trad_cost_seg"), 2).alias("trad_cost_seg"),
-        py_round(F.col("std_dep"), 2).alias("std_dep"),
+        F.round(F.col("depreciation_total"), 2).alias("depreciation_total"),
+        F.round(F.col("accumulated_total"), 2).alias("accumulated_total"),
+        F.round(F.col("trad_cost_seg"), 2).alias("trad_cost_seg"),
+        F.round(F.col("std_dep"), 2).alias("std_dep"),
     )
 
 
@@ -723,7 +723,7 @@ vals AS (
 
 
 def _sql_depr_schedule() -> str:
-    return f"""
+    return sqlgen.repr_rounds(f"""
 {_sql_depr_schedule_core(101, 0)}
 SELECT o_orderkey, year, calendar_year,
        round(depreciation_total, 2) AS depreciation_total,
@@ -731,7 +731,7 @@ SELECT o_orderkey, year, calendar_year,
        round(trad_cost_seg, 2) AS trad_cost_seg,
        round(std_dep, 2) AS std_dep
 FROM vals
-"""
+""")
 
 
 def q_depr_schedule_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,15 +741,15 @@ def q_depr_schedule_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = dep.schedule_totals(sched, ["o_orderkey"])
     return tot.select(
         "o_orderkey",
-        py_round(F.col("total_std_dep"), 2).alias("total_std_dep"),
-        py_round(F.col("total_trad_cost_seg"), 2).alias("total_trad_cost_seg"),
-        py_round(F.col("total_bonus_dep"), 2).alias("total_bonus_dep"),
-        py_round(F.col("final_accumulated_total"), 2).alias("final_accumulated_total"),
+        F.round(F.col("total_std_dep"), 2).alias("total_std_dep"),
+        F.round(F.col("total_trad_cost_seg"), 2).alias("total_trad_cost_seg"),
+        F.round(F.col("total_bonus_dep"), 2).alias("total_bonus_dep"),
+        F.round(F.col("final_accumulated_total"), 2).alias("final_accumulated_total"),
     )
 
 
 def _sql_depr_schedule_totals() -> str:
-    return f"""
+    return sqlgen.repr_rounds(f"""
 {_sql_depr_schedule_core(101, 0)}
 SELECT o_orderkey,
        round(sum(std_dep), 2) AS total_std_dep,
@@ -757,7 +757,7 @@ SELECT o_orderkey,
        round(sum(depreciation_total), 2) AS total_bonus_dep,
        round(max(accumulated_total), 2) AS final_accumulated_total
 FROM vals GROUP BY o_orderkey
-"""
+""")
 
 
 # ----------------------------------------------------------------------
@@ -908,9 +908,9 @@ def q_depr_schedule_ads(spark: SparkSession, sf_dir: str) -> DataFrame:
         "year",
         "building_class",
         F.col("bonus_rate"),
-        py_round(F.col("depreciation_total"), 2).alias("depreciation_total"),
-        py_round(F.col("accumulated_total"), 2).alias("accumulated_total"),
-        py_round(F.col("std_dep"), 2).alias("std_dep"),
+        F.round(F.col("depreciation_total"), 2).alias("depreciation_total"),
+        F.round(F.col("accumulated_total"), 2).alias("accumulated_total"),
+        F.round(F.col("std_dep"), 2).alias("std_dep"),
     )
 
 
@@ -926,7 +926,7 @@ def _sql_depr_schedule_ads() -> str:
     ab = sqlgen.sql_bldg_acc_dep("amt_bldg", "building_class", "year", "pis_month")
     std_y = sqlgen.sql_standard_dep("total_dep", "building_class", "year", "pis_month")
     std_p = sqlgen.sql_standard_dep("total_dep", "building_class", "(year - 1)", "pis_month")
-    return f"""
+    return sqlgen.repr_rounds(f"""
 WITH inp AS ({_DEPR_INPUTS_SQL.replace('{mod}', '103').replace('{rem}', '0')}),
 sc AS (
   SELECT *,
@@ -956,4 +956,4 @@ SELECT o_orderkey, year, building_class, CAST(0.0 AS DOUBLE) AS bonus_rate,
        round(({a5} + {a7} + {a15} + {ab}), 2) AS accumulated_total,
        round(({std_y} - {std_p}), 2) AS std_dep
 FROM grid
-"""
+""")

@@ -214,3 +214,38 @@ def sql_round2(x: str) -> str:
     (half-away == HALF_UP for positives).
     """
     return f"CAST(round(CAST(CAST({x} AS VARCHAR) AS DECIMAL(28,12)), 2) AS DOUBLE)"
+
+
+def repr_rounds(sql: str) -> str:
+    """Rewrite every ``round(expr, 2)`` in a generated oracle to the
+    repr-exact form (``sqlgen.sql_round2``). The depreciation tables
+    hold 3-decimal percentages, so scaled-tie values (x.xx5) are COMMON
+    — DuckDB's binary std::round and Spark's repr-based F.round then
+    disagree systematically, not rarely (seen live: ADS std_dep
+    122597.305). Matching F.round exactly removes the coin flips."""
+    out = []
+    i = 0
+    needle = "round("
+    while True:
+        j = sql.find(needle, i)
+        while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] in "._"):
+            j = sql.find(needle, j + 1)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        depth = 0
+        k = j + len(needle) - 1
+        while True:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        inner = sql[j + len(needle): k]
+        assert inner.endswith(", 2"), f"unexpected round arity: {inner[-20:]}"
+        out.append(sql_round2(inner[:-3]))
+        i = k + 1
+    return "".join(out)
