@@ -1,0 +1,172 @@
+"""Multimodal column plumbing (north-rule addition).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata; the decode / feature-extract / resize / frame-sample kernels
+run as Arrow-batched functions over ``mapInPandas``. The actual codec
+libraries (PIL/ffmpeg/soundfile) are NOT in this container, so the
+byte-level decoders are STUBBED exactly as the build contract asks:
+
+- real formats (PNG/JPEG/WAV magic bytes) raise ``NotImplementedError``
+  with the library that a deployment would install;
+- the deterministic ``FAKE`` container (our synthetic corpus format)
+  decodes for real, so every downstream stage — schema, partitioning,
+  Arrow batch shape, resize math, frame sampling — is genuinely
+  exercised and oracle-checkable.
+
+FAKE container layout (little-endian):
+    b"FAKE" | u8 kind (0=image,1=audio,2=video) | u16 w|sr|w
+            | u16 h|ch|h | u16 1|n_sec|n_frames | payload bytes
+Payload "pixel"/"sample" at index i is ``(payload[i % len]) `` — enough
+structure for resize/frame-sample to have verifiable semantics.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, List, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, kind string, width int, height int, sample_rate int,"
+    " channels int, n_frames int, n_bytes int, error string"
+)
+
+_KINDS = {0: "image", 1: "audio", 2: "video"}
+_MAGICS = {
+    b"\x89PNG": "PNG (install pillow)",
+    b"\xff\xd8\xff": "JPEG (install pillow)",
+    b"RIFF": "WAV/AVI (install soundfile/ffmpeg)",
+    b"\x00\x00\x00\x18": "MP4 (install ffmpeg)",
+}
+
+
+def encode_fake(kind: int, a: int, b: int, c: int, payload: bytes) -> bytes:
+    return b"FAKE" + struct.pack("<BHHH", kind, a, b, c) + payload
+
+
+def decode_media(blob: bytes) -> dict:
+    """Header decode. Real formats → NotImplementedError (stub gate)."""
+    for magic, what in _MAGICS.items():
+        if blob[: len(magic)] == magic:
+            raise NotImplementedError(f"real codec not available in sandbox: {what}")
+    if blob[:4] != b"FAKE" or len(blob) < 11:
+        raise ValueError("unknown media container")
+    kind, a, b, c = struct.unpack("<BHHH", blob[4:11])
+    payload = blob[11:]
+    out = {
+        "kind": _KINDS.get(kind, "unknown"),
+        "width": 0, "height": 0, "sample_rate": 0, "channels": 0, "n_frames": 0,
+        "n_bytes": len(payload),
+    }
+    if kind == 0:
+        out.update(width=a, height=b, n_frames=1)
+    elif kind == 1:
+        out.update(sample_rate=a, channels=b, n_frames=c)
+    else:
+        out.update(width=a, height=b, n_frames=c)
+    return out
+
+
+def _px(payload: bytes, i: int) -> int:
+    return payload[i % len(payload)] if payload else 0
+
+
+def resize_image(blob: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a FAKE image — the real math over the
+    fake pixels (a deployment swaps the pixel source for PIL)."""
+    meta = decode_media(blob)
+    if meta["kind"] != "image":
+        raise ValueError("not an image")
+    w, h = meta["width"], meta["height"]
+    payload = blob[11:]
+    out = bytearray()
+    for y in range(out_h):
+        sy = min(h - 1, (y * h) // out_h) if h else 0
+        for x in range(out_w):
+            sx = min(w - 1, (x * w) // out_w) if w else 0
+            out.append(_px(payload, sy * w + sx))
+    return encode_fake(0, out_w, out_h, 1, bytes(out))
+
+
+def sample_frames(blob: bytes, every: int) -> List[Tuple[int, int]]:
+    """(frame_index, first_pixel) for every ``every``-th video frame."""
+    meta = decode_media(blob)
+    if meta["kind"] != "video":
+        raise ValueError("not a video")
+    w, h, n = meta["width"], meta["height"], meta["n_frames"]
+    payload = blob[11:]
+    frame_sz = max(1, w * h)
+    return [(i, _px(payload, i * frame_sz)) for i in range(0, n, every)]
+
+
+# ----------------------------------------------------------------------
+# Spark stages
+# ----------------------------------------------------------------------
+def _meta_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for b in batches:
+        cols = {k: [] for k in (
+            "doc_id", "kind", "width", "height", "sample_rate", "channels",
+            "n_frames", "n_bytes", "error",
+        )}
+        for doc_id, blob in zip(b["doc_id"].tolist(), b["media"].tolist()):
+            rec = dict.fromkeys(cols, None)
+            rec["doc_id"] = int(doc_id)
+            try:
+                rec.update(decode_media(bytes(blob)))
+                rec["error"] = None
+            except (NotImplementedError, ValueError) as e:
+                rec.update(kind="unknown", width=0, height=0, sample_rate=0,
+                           channels=0, n_frames=0, n_bytes=0, error=str(e)[:200])
+            for k in cols:
+                cols[k].append(rec[k])
+        yield pd.DataFrame(cols)
+
+
+def media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """binary → typed metadata; decode failures are rows, not errors."""
+    return df.select("doc_id", F.col(media_col).alias("media")).mapInPandas(
+        _meta_mapper, schema=MEDIA_SCHEMA
+    )
+
+
+def resized_thumbnails(df: DataFrame, out_w: int, out_h: int, media_col: str = "media") -> DataFrame:
+    def mapper(batches):
+        for b in batches:
+            ids, blobs, sums = [], [], []
+            for doc_id, blob in zip(b["doc_id"].tolist(), b["media"].tolist()):
+                try:
+                    t = resize_image(bytes(blob), out_w, out_h)
+                except (ValueError, NotImplementedError):
+                    continue
+                ids.append(int(doc_id))
+                blobs.append(t)
+                sums.append(int(sum(t[11:])))
+            yield pd.DataFrame({"doc_id": ids, "thumb": blobs, "pixel_sum": sums})
+
+    return df.select("doc_id", F.col(media_col).alias("media")).mapInPandas(
+        mapper, schema="doc_id long, thumb binary, pixel_sum long"
+    )
+
+
+def sampled_frames(df: DataFrame, every: int = 10, media_col: str = "media") -> DataFrame:
+    def mapper(batches):
+        for b in batches:
+            ids, idxs, pxs = [], [], []
+            for doc_id, blob in zip(b["doc_id"].tolist(), b["media"].tolist()):
+                try:
+                    frames = sample_frames(bytes(blob), every)
+                except (ValueError, NotImplementedError):
+                    continue
+                for i, p in frames:
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    pxs.append(p)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "first_pixel": pxs})
+
+    return df.select("doc_id", F.col(media_col).alias("media")).mapInPandas(
+        mapper, schema="doc_id long, frame_idx int, first_pixel int"
+    )

@@ -641,6 +641,10 @@ def data_queries():
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "event_sessions": q_event_sessions,
+        "json_props": q_json_props,
+        "multimodal_metadata": q_multimodal_metadata,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -667,6 +671,10 @@ def data_oracle_sql():
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "event_sessions": SQL_EVENT_SESSIONS,
+        "json_props": SQL_JSON_PROPS,
+        "multimodal_metadata": SQL_MULTIMODAL_METADATA,
+        "multimodal_resize": _sql_multimodal_resize(),
+        "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         # ann_rp_lsh / ann_ivf / embedding_near_dups_lsh: approximate —
         # rows-only check on purpose
         "multimodal_meta": SQL_MULTIMODAL_META,
@@ -735,4 +743,132 @@ s AS (
 SELECT event_id, user_id, CAST(session_idx AS INT) AS session_idx,
        CAST(user_id AS VARCHAR) || '-' || CAST(session_idx AS VARCHAR) AS session_id
 FROM s
+"""
+
+
+# ----------------------------------------------------------------------
+# S8: semi-structured JSON parsing with explicit schema
+# ----------------------------------------------------------------------
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's JSON ingestion (Pydantic-validated bodies, S8) as
+    schema-declared from_json over the events props column; malformed
+    documents become nulls, not errors (PERMISSIVE — the reference's
+    'errors are rows' stance)."""
+    e = _read(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k int")
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        (parsed["k"] % 10 == 0).alias("k_round"),
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       json_extract_string(props, '$.k') AS k_str,
+       (CAST(json_extract_string(props, '$.k') AS INT) % 10 = 0) AS k_round
+FROM events
+"""
+
+
+# ----------------------------------------------------------------------
+# multimodal: typed metadata / resize / frame-sample over FAKE media
+# ----------------------------------------------------------------------
+def _fake_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → deterministic FAKE media blobs (kind by doc_id):
+    images carry the text bytes as pixels, videos as frame data."""
+    from . import multimodal as mm
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def mapper(batches):
+        for b in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(b["doc_id"].tolist(), b["text"].tolist()):
+                i = int(doc_id)
+                payload = str(text).encode("utf-8")
+                kind = i % 3
+                if kind == 0:
+                    blob = mm.encode_fake(0, 8 + i % 8, 4 + i % 4, 1, payload)
+                elif kind == 1:
+                    blob = mm.encode_fake(1, 8000 + (i % 4) * 4000, 1 + i % 2, 1 + i % 5, payload)
+                else:
+                    blob = mm.encode_fake(2, 8 + i % 8, 4 + i % 4, 5 + i % 20, payload)
+                ids.append(i)
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    return d.mapInPandas(mapper, schema="doc_id long, media binary")
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import multimodal as mm
+
+    return mm.media_metadata(_fake_media(spark, sf_dir)).select(
+        "doc_id", "kind", "width", "height", "sample_rate", "channels", "n_frames", "n_bytes"
+    )
+
+
+SQL_MULTIMODAL_METADATA = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(CASE WHEN doc_id % 3 IN (0, 2) THEN 8 + doc_id % 8 ELSE 0 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 3 IN (0, 2) THEN 4 + doc_id % 4 ELSE 0 END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 4) * 4000 ELSE 0 END AS INT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 ELSE 0 END AS INT) AS channels,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 1 + doc_id % 5 ELSE 5 + doc_id % 20 END AS INT) AS n_frames,
+       CAST(length(text) AS INT) AS n_bytes
+FROM documents
+"""
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4x3 nearest-neighbor thumbnails of the image rows; the checked
+    value is the thumbnail pixel sum (bytes don't hash portably)."""
+    from . import multimodal as mm
+
+    out = mm.resized_thumbnails(_fake_media(spark, sf_dir), out_w=4, out_h=3)
+    return out.select("doc_id", "pixel_sum")
+
+
+def _sql_multimodal_resize() -> str:
+    terms = []
+    for y in range(3):
+        for x in range(4):
+            sy = f"least(h - 1, CAST(floor({y} * h / 3) AS INT))"
+            sx = f"least(w - 1, CAST(floor({x} * w / 4) AS INT))"
+            terms.append(f"ascii(substr(text, (({sy} * w + {sx}) % n) + 1, 1))")
+    return f"""
+WITH img AS (
+  SELECT doc_id, text,
+         8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h, length(text) AS n
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id, CAST({' + '.join(terms)} AS BIGINT) AS pixel_sum FROM img
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 10th frame of the video rows with its first 'pixel'."""
+    from . import multimodal as mm
+
+    return mm.sampled_frames(_fake_media(spark, sf_dir), every=10)
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH vid AS (
+  SELECT doc_id, text,
+         8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,
+         5 + doc_id % 20 AS nf, length(text) AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT doc_id, w, h, n, unnest(generate_series(0, nf - 1)) AS i FROM vid
+)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       CAST(ascii(substr(text, ((i * w * h) % n) + 1, 1)) AS INT) AS first_pixel
+FROM fr JOIN documents USING (doc_id)
+WHERE i % 10 = 0
 """

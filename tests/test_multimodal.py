@@ -1,0 +1,65 @@
+"""Multimodal plumbing: stub gates for real codecs, FAKE-container
+decode/resize/frame-sample semantics, Spark stage error rows."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_parser_spark import multimodal as mm
+
+
+def test_real_formats_are_gated():
+    for magic in (b"\x89PNG\r\n", b"\xff\xd8\xff\xe0--", b"RIFF1234WAVE"):
+        with pytest.raises(NotImplementedError, match="install"):
+            mm.decode_media(magic + b"\x00" * 20)
+
+
+def test_unknown_container_rejected():
+    with pytest.raises(ValueError, match="unknown media container"):
+        mm.decode_media(b"NOPE" + b"\x00" * 20)
+
+
+def test_fake_roundtrip():
+    blob = mm.encode_fake(0, 8, 4, 1, b"pixeldata")
+    meta = mm.decode_media(blob)
+    assert meta == {
+        "kind": "image", "width": 8, "height": 4, "sample_rate": 0,
+        "channels": 0, "n_frames": 1, "n_bytes": 9,
+    }
+    audio = mm.decode_media(mm.encode_fake(1, 16000, 2, 3, b"s"))
+    assert audio["kind"] == "audio" and audio["sample_rate"] == 16000
+    assert audio["channels"] == 2 and audio["n_frames"] == 3
+
+
+def test_resize_semantics():
+    # 2x2 image, pixels [10, 20, 30, 40] → 1x1 nearest-neighbor = pixel (0,0)
+    blob = mm.encode_fake(0, 2, 2, 1, bytes([10, 20, 30, 40]))
+    thumb = mm.resize_image(blob, 1, 1)
+    meta = mm.decode_media(thumb)
+    assert (meta["width"], meta["height"]) == (1, 1)
+    assert thumb[11:] == bytes([10])
+    # upscale 4x4: each source pixel appears 4x → sum = 4*(10+20+30+40)
+    up = mm.resize_image(blob, 4, 4)
+    assert sum(up[11:]) == 4 * (10 + 20 + 30 + 40)
+
+
+def test_frame_sampling():
+    payload = bytes(range(100))
+    blob = mm.encode_fake(2, 3, 2, 25, payload)  # 25 frames of 6 "pixels"
+    frames = mm.sample_frames(blob, every=10)
+    assert [i for i, _ in frames] == [0, 10, 20]
+    assert frames[0][1] == payload[0]
+    assert frames[1][1] == payload[60 % 100]
+
+
+def test_spark_stage_error_rows(spark):
+    rows = [
+        (1, mm.encode_fake(0, 4, 4, 1, b"abcd")),
+        (2, b"\x89PNG\r\n" + b"\x00" * 10),  # gated codec → error row
+        (3, b"garbage-bytes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: r for r in mm.media_metadata(df).collect()}
+    assert got[1]["kind"] == "image" and got[1]["error"] is None
+    assert "install" in got[2]["error"]
+    assert "unknown media container" in got[3]["error"]
