@@ -5,7 +5,7 @@ Spark engine uses (pricing.py / depreciation.py module constants), so
 the two sides can only agree if the Spark expression semantics are
 right — the data is shared, the computation is independent.
 
-Float-parity rules baked in here (see tests/test_entry_oracle.py):
+Float-parity rules baked in here (rehearsed by scripts/check_oracle.py and tests/test_entry_contract.py):
 - literals are emitted with ``repr(float)`` — shortest round-trip, so
   DuckDB parses the bit-identical double Spark folds;
 - arithmetic is emitted in the SAME association order as the Spark
