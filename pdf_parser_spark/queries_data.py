@@ -684,18 +684,44 @@ def data_oracle_sql():
 # ----------------------------------------------------------------------
 # embedding-cosine near-dup pairs + sessionization
 # ----------------------------------------------------------------------
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id % 3 == 0 base vectors PLUS planted near-duplicates: every
+    vec_id % 12 == 0 vector gets a twin (id + 100000) with its first
+    coordinate shifted by +0.25 (unit-norm corpus ⇒ twin cosine ≈ 0.97).
+
+    The planting makes the exact/LSH near-dup oracle checks NON-trivial
+    — without it the driver corpus has (almost) no pairs above 0.5 and
+    the parity check proves nothing (round-1 verdict item 1)."""
+    base = _emb(spark, sf_dir).filter(F.col("vec_id") % 3 == 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = base.filter(F.col("vec_id") % 12 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.25)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    return base.unionByName(twins)
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs (the correctness baseline the LSH
-    variant's candidates are verified against)."""
-    emb = _emb(spark, sf_dir).filter(F.col("vec_id") % 3 == 0)
-    out = simsearch.cosine_near_dup_pairs(emb, threshold=0.5)
+    variant's candidates are verified against) over the planted corpus."""
+    out = simsearch.cosine_near_dup_pairs(_near_dup_corpus(spark, sf_dir), threshold=0.5)
     return out.select("id_a", "id_b", F.round(F.col("cosine_sim"), 6).alias("cosine_sim"))
 
 
 SQL_EMBEDDING_NEAR_DUPS = """
-WITH c AS (
+WITH c0 AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings WHERE vec_id % 3 = 0
+),
+c AS (
+  SELECT vec_id, v FROM c0
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, [v[1] + CAST(0.25 AS DOUBLE)] || v[2:] AS v
+  FROM c0 WHERE vec_id % 12 = 0
 ),
 p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -708,11 +734,12 @@ SELECT id_a, id_b, round(sim, 6) AS cosine_sim FROM p WHERE sim >= 0.5
 
 
 def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup pairs — approximate (recall < 1), so
-    rows-only in the driver check; recall vs the exact baseline is
-    asserted in tests/test_scale_ops.py."""
-    emb = _emb(spark, sf_dir).filter(F.col("vec_id") % 3 == 0)
-    out = simsearch.lsh_near_dup_pairs(emb, dim=64, threshold=0.5, bits=8, tables=6)
+    """LSH-bucketed near-dup pairs over the same planted corpus —
+    approximate (recall < 1), so rows-only in the driver check; recall
+    vs the exact baseline is asserted in tests/test_scale_ops.py."""
+    out = simsearch.lsh_near_dup_pairs(
+        _near_dup_corpus(spark, sf_dir), dim=64, threshold=0.5, bits=8, tables=6
+    )
     return out.select("id_a", "id_b", F.round(F.col("cosine_sim"), 6).alias("cosine_sim"))
 
 

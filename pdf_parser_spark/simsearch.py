@@ -218,20 +218,26 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest deterministic centroid.
 
-    Centroids = the vectors whose id ≡ 0 (mod ⌈n/n_centroids⌉) — a
-    deterministic sample (k-means would drift run-to-run; resumability
-    beats a marginally better partition). Returns corpus + ``list_id``.
-    At scale the assignment is a broadcast nested-loop argmin — the
-    corpus is never shuffled; write the result bucketed by list_id for
-    probe locality.
+    Centroids = per hash-bucket minimum: bucket = pmod(xxhash64(id),
+    n_centroids), centroid = the member with the smallest id in each
+    bucket (``min_by`` — map-side combinable, so every task reduces to
+    ≤ n_centroids rows before the one tiny shuffle; no global sort, no
+    window, no count job — the round-1 global ``Window.orderBy`` funneled
+    the whole corpus through one task). Deterministic (k-means would
+    drift run-to-run; resumability beats a marginally better partition).
+    Returns corpus + ``list_id``. At scale the assignment is a broadcast
+    nested-loop argmin — the corpus is never shuffled; write the result
+    bucketed by list_id for probe locality.
     """
-    cents = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    w = Window.orderBy("cid")
     cents = (
-        cents.withColumn("_rn", F.row_number().over(w) - 1)
-        .withColumn("_n", F.count("*").over(Window.partitionBy()))
-        .filter(F.col("_rn") % F.ceil(F.col("_n") / n_centroids).cast("int") == 0)
-        .select("cid", "cvec")
+        corpus.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids)).alias("_b"),
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+        )
+        .groupBy("_b")
+        .agg(F.min_by(F.struct(F.col("cid"), F.col("cvec")), F.col("cid")).alias("_c"))
+        .select(F.col("_c.cid").alias("cid"), F.col("_c.cvec").alias("cvec"))
     )
     cent_arr = F.broadcast(
         cents.groupBy().agg(

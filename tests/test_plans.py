@@ -78,3 +78,25 @@ def test_window_plan(spark):
     p = plan_of(qd.q_window_cumsum(spark, SF))
     assert "Window" in p
     assert "PushedFilters" in p
+
+
+def test_ivf_assign_no_global_window(spark):
+    """Round-2 fix: centroid selection must not funnel the corpus
+    through a single task (no Window/global Sort; the only exchanges
+    are the map-side-combined centroid agg and its tiny broadcast)."""
+    from pdf_parser_spark import simsearch
+
+    df = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 17).cast("double") for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    p = plan_of(simsearch.ivf_assign(df, n_centroids=8))
+    assert ") Window" not in p
+    # min_by's SortAggregate sorts are partition-LOCAL (global=false);
+    # a global sort (the round-1 scale-killer) would show "], true, 0"
+    for line in p.splitlines():
+        if line.startswith("Arguments: [") and line.rstrip().endswith(", 0"):
+            assert "], false, 0" in line, f"global sort in ivf_assign plan: {line}"
+    assert "partial_min_by" in p  # map-side combine before the shuffle
