@@ -223,6 +223,22 @@ def _sql_capex_481a() -> str:
     y1_b = sqlgen.sql_bldg_year_dep("amt_bldg", "building_class", "1", "pis_month")
     cur_dep = _sql_pool_dep("amt", "pb", "cls", "(b.acq_year + b.elapsed - year(pis) + 1)", "month(pis)")
     acc_dep = _sql_pool_acc("amt", "pb", "cls", "((b.acq_year + b.elapsed - 1) - year(pis) + 1)", "month(pis)")
+
+    # Order-deterministic double sums mirroring Spark's association
+    # EXACTLY (repo float-parity rule — a plain sum() accumulates in
+    # scan order, which can drift an ulp and flip a cent across a
+    # round(x,2) boundary): Spark folds the sort_array'd pool array
+    # per class (filter + aggregate, start 0.0), then adds the class
+    # sums in CAPEX_CLASSES order. list_reduce over an ORDER BY'd
+    # FILTER'd list is the same left fold (0.0 + d1 == d1 exactly).
+    def class_fold(expr: str, cls: str) -> str:
+        return (
+            f"coalesce(list_reduce(list({expr} ORDER BY p.amt, p.pis)"
+            f" FILTER (WHERE p.cls = '{cls}'), (x, y) -> x + y), CAST(0.0 AS DOUBLE))"
+        )
+
+    cur_sum = " + ".join(class_fold(cur_dep, c) for c in dep.CAPEX_CLASSES)
+    acc_sum = " + ".join(class_fold(acc_dep, c) for c in dep.CAPEX_CLASSES)
     return sqlgen.repr_rounds(f"""
 WITH {_sql_rcgv_scalars(_MOD, 0)},
 {_sql_pool_rows(_MOD, 0).strip().lstrip(',')}
@@ -230,8 +246,8 @@ WITH {_sql_rcgv_scalars(_MOD, 0)},
 pool_agg AS (
   SELECT p.o_orderkey,
          count(*) AS n_pools,
-         sum({cur_dep}) AS capex_cur,
-         sum({acc_dep}) AS capex_acc
+         {cur_sum} AS capex_cur,
+         {acc_sum} AS capex_acc
   FROM pool_rows p JOIN amts b ON p.o_orderkey = b.o_orderkey
   GROUP BY p.o_orderkey
 ),
@@ -333,7 +349,11 @@ def _sql_lifetime_reconcile() -> str:
     return sqlgen.repr_rounds(f"""
 WITH {_sql_rcgv_scalars(_MOD, 2)},
 capex AS (
-  SELECT l_orderkey AS o_orderkey, sum(l_extendedprice) AS capex_total
+  -- left fold in pool-array sort order (amount asc), matching Spark's
+  -- aggregate over sort_array'd pools — NOT a scan-order double sum
+  SELECT l_orderkey AS o_orderkey,
+         coalesce(list_reduce(list(l_extendedprice ORDER BY l_extendedprice),
+                              (x, y) -> x + y), CAST(0.0 AS DOUBLE)) AS capex_total
   FROM lineitem WHERE l_orderkey % {_MOD} = 2 GROUP BY l_orderkey
 ),
 lt AS (
