@@ -319,16 +319,21 @@ FROM banded a JOIN banded b
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_doc_freq=32 exercises the stop-shingle cap non-vacuously: the
+    # driver corpus has exactly one shingle above 32 docs at sf0.001 and
+    # sf0.01, so the pruning path is live in the parity check
     corpus = _dup_corpus(spark, sf_dir, exact=False)
-    return textops.ngram_jaccard_pairs(corpus, threshold=0.5)
+    return textops.ngram_jaccard_pairs(corpus, threshold=0.5, max_doc_freq=32)
 
 
 SQL_DEDUP_JACCARD = f"""
 WITH corpus AS ({_SQL_NEAR_CORPUS}),
-shd AS (
+shd0 AS (
   SELECT doc_id, unnest(list_distinct({_SQL_SHINGLES.replace('words', _SQL_WORDS)})) AS s
   FROM corpus
 ),
+keep AS (SELECT s FROM shd0 GROUP BY s HAVING count(*) <= 32),
+shd AS (SELECT shd0.* FROM shd0 JOIN keep USING (s)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter

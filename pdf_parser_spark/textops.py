@@ -150,16 +150,35 @@ def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_k: int = 3, threshold: float = 0.8,
     candidates: Optional[DataFrame] = None,
+    max_doc_freq: Optional[int] = 10_000,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for pairs ≥ threshold.
 
     With ``candidates`` (e.g. from :func:`lsh_band_pairs`) verifies only
     those; without, an inverted-index self-join on shingles (still not
-    all-pairs: the join key is the shingle)."""
+    all-pairs: the join key is the shingle).
+
+    ``max_doc_freq`` drops shingles whose document frequency exceeds the
+    cap BEFORE the join — from both the intersection AND the union, i.e.
+    Jaccard is computed over the non-stop shingle sets. Without the cap
+    one boilerplate shingle ("of the and") makes its join key quadratic
+    at corpus scale; the cap bounds every bucket to ≤ max_doc_freq docs.
+    Recall consequence: a pair whose overlap is ONLY capped shingles is
+    missed (that overlap is boilerplate by definition — standard
+    stop-shingle practice). The frequency agg is map-side combinable and
+    shares the shingle shuffle key with the join. ``None`` disables."""
     words = norm_words(F.col(text_col))
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(words, shingle_k))).alias("sh")
     )
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -107,3 +107,24 @@ def test_fingerprint_stable_under_whitespace(spark):
     rows = {r["doc_id"]: r["fingerprint"] for r in textops.fingerprint(df).collect()}
     assert rows[0] == rows[1]  # whitespace-normalized → identical sketch
     assert len(rows[0]) > 0
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    """A boilerplate shingle present in EVERY doc must not generate
+    candidate pairs once its doc-frequency exceeds max_doc_freq — the
+    100 TB skew guard. Docs share ONLY the hot shingle, so with the cap
+    the pair set is empty; without it every pair appears."""
+    hot = "copyright acme corp"
+    rows = [(i, f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = textops.ngram_jaccard_pairs(df, threshold=0.0, max_doc_freq=10).collect()
+    assert capped == []  # hot-shingle-only overlap pruned entirely
+    uncapped = textops.ngram_jaccard_pairs(df, threshold=0.0, max_doc_freq=None).collect()
+    assert len(uncapped) == 20 * 19 // 2  # quadratic without the cap
+
+
+def test_jaccard_cap_keeps_true_dups(spark, docs):
+    """Capping must not lose pairs whose overlap is more than the
+    pruned boilerplate (dup pair 0~1 shares all shingles)."""
+    rows = textops.ngram_jaccard_pairs(docs, threshold=0.9, max_doc_freq=3).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows if r["jaccard"] == 1.0] == [(0, 1)]
