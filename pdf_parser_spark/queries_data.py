@@ -296,15 +296,27 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.lsh_band_pairs(corpus).select("id_a", "id_b")
 
 
-SQL_DEDUP_MINHASH_LSH = f"""
+def _sql_dedup_minhash_lsh() -> str:
+    # identical universal-hash constants as textops.minhash_coeffs(12)
+    from .textops import MINHASH_P, minhash_coeffs
+
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {i} AS hash_idx,"
+        f" list_min(list_transform(mh, m -> ({a} * m + {b}) % {MINHASH_P})) AS min_hash FROM mhs"
+        for i, (a, b) in enumerate(minhash_coeffs(12))
+    )
+    return f"""
 WITH corpus AS ({_SQL_NEAR_CORPUS}),
 sh AS (
   SELECT doc_id, {_SQL_SHINGLES.replace('words', _SQL_WORDS)} AS shingles FROM corpus
 ),
+mhs AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> {_SQL_HASH64.format(x='s')} % {MINHASH_P}) AS mh
+  FROM sh
+),
 sigs AS (
-  SELECT doc_id, i.hash_idx,
-         list_min(list_transform(shingles, s -> md5(CAST(i.hash_idx AS VARCHAR) || ':' || s))) AS min_hash
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS hash_idx) i
+{arms}
 ),
 sigs2 AS (SELECT * FROM sigs WHERE min_hash IS NOT NULL),
 banded AS (
@@ -665,7 +677,7 @@ def data_oracle_sql():
         "events_hour_window": SQL_EVENTS_HOUR_WINDOW,
         "draft_last_write_wins": SQL_DRAFT_LAST_WRITE_WINS,
         "dedup_exact": SQL_DEDUP_EXACT,
-        "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+        "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
         "dedup_jaccard": SQL_DEDUP_JACCARD,
         "dedup_simhash": _sql_dedup_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),

@@ -82,32 +82,67 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # ----------------------------------------------------------------------
 # MinHash + LSH
 # ----------------------------------------------------------------------
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime): products stay < 2^62
+
+
+def _splitmix(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def minhash_coeffs(n_hashes: int) -> List[tuple]:
+    """Deterministic (a_i, b_i) for the universal hash family
+    h_i(m) = (a_i * (m mod p) + b_i) mod p — the SAME literal constants
+    are embedded in the DuckDB oracle (``__spark_entry__.py``)."""
+    return [
+        (_splitmix(1000 + i) % (MINHASH_P - 1) + 1, _splitmix(2000 + i) % MINHASH_P)
+        for i in range(n_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = 12, shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, hash_idx, min_hash): minhash via salted-digest minimum.
+    """(id, hash_idx, min_hash): minhash via a universal hash family.
 
-    ``h_i(s) = md5(i || ':' || s)``; the signature row for hash i is the
-    lexicographic min over the document's shingles — computed with
-    ``array_min``/``transform``, no explode, no shuffle.
+    Base digest: md5 → 60-bit int ONCE per shingle, then
+    ``h_i(m) = (a_i·(m mod p) + b_i) mod p`` per hash index — n_hashes
+    cheap integer passes over a materialized int array instead of the
+    round-1 n_hashes **md5** passes over the shingle strings (md5 was
+    ~the whole minhash cost). Still ``array_min``/``transform`` — no
+    explode, no shuffle, and an exact DuckDB oracle from the same
+    literal (a_i, b_i, p).
     """
     words = norm_words(F.col(text_col))
-    # materialize shingles as a physical column FIRST: a Column closure
-    # referenced inside a HOF lambda is inlined per reference, so the
-    # shingle build would otherwise re-run once per hash index (12x)
-    shingled = df.select(F.col(id_col), word_shingles(words, shingle_k).alias("_sh"))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.struct(
-            i.alias("hash_idx"),
-            F.array_min(
-                F.transform(F.col("_sh"), lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
-            ).alias("min_hash"),
-        ),
+    # materialize the int digests as a physical column FIRST: a Column
+    # closure referenced inside a HOF lambda is inlined per reference,
+    # so the md5 pass would otherwise re-run once per hash index
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(word_shingles(words, shingle_k), lambda s: _hash64(s) % MINHASH_P).alias("_mh"),
+    )
+    coeffs = minhash_coeffs(n_hashes)
+
+    def _h(a: int, b: int):
+        # factory so the lambda stays 1-ary (PySpark derives the HOF
+        # lambda-variable count from the Python signature) and a/b bind
+        # by value, not by loop-variable reference
+        return lambda m: (F.lit(a) * m + F.lit(b)) % F.lit(MINHASH_P)
+
+    sig = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("hash_idx"),
+                F.array_min(F.transform(F.col("_mh"), _h(a, b))).alias("min_hash"),
+            )
+            for i, (a, b) in enumerate(coeffs)
+        ]
     )
     return (
-        shingled.select(F.col(id_col), F.explode(sig).alias("h"))
+        hashed.select(F.col(id_col), F.explode(sig).alias("h"))
         .select(id_col, F.col("h.hash_idx").alias("hash_idx"), F.col("h.min_hash").alias("min_hash"))
         .filter(F.col("min_hash").isNotNull())
     )
@@ -127,7 +162,16 @@ def lsh_band_pairs(
     banded = (
         sigs.withColumn("band_idx", (F.col("hash_idx") / rows).cast("int"))
         .groupBy(id_col, "band_idx")
-        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list("min_hash")))).alias("band_key"))
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(F.collect_list("min_hash")), lambda m: m.cast("string")
+                    ),
+                )
+            ).alias("band_key")
+        )
     )
     a = banded.alias("a")
     b = banded.alias("b")
