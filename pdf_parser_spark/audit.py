@@ -82,6 +82,21 @@ def resume_pending(pages: DataFrame, done_urls: DataFrame) -> DataFrame:
     return pages.join(done_urls.select("url"), "url", "left_anti")
 
 
+def _totals_of(reread: DataFrame) -> dict:
+    agg = reread.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("error_code").isNotNull().cast("long")).alias("failures"),
+        F.sum("decode_fallbacks").alias("fb"),
+        F.sum("n_bytes").alias("bytes"),
+    ).collect()[0]
+    return {
+        "docs": agg["docs"],
+        "failures": agg["failures"] or 0,
+        "decode_fallbacks": agg["fb"] or 0,
+        "bytes": agg["bytes"] or 0,
+    }
+
+
 def run_extraction_with_audit(
     spark: SparkSession,
     pages: DataFrame,
@@ -90,45 +105,76 @@ def run_extraction_with_audit(
     n_buckets: int = 8,
     mode: str = "first_valid",
     buckets: Optional[List[int]] = None,
+    recovery: bool = False,
 ) -> dict:
-    """Extract bucket-by-bucket with commit-per-bucket semantics.
+    """Extract every pending bucket in ONE pass, then commit.
 
     Returns {"processed": [...], "skipped": [...], "metrics": {...}}.
     Already-committed buckets (per the audit table) are pruned BEFORE
     any work — a restart touches only unfinished buckets.
+
+    Default path: one job scans the input ONCE (pending buckets only),
+    writes ``partitionBy(bucket)`` with dynamic partition overwrite
+    (idempotent per partition — a crashed batch simply rewrites its
+    pending partitions), then appends ALL audit rows in one pass. The
+    round-1 shape — filter(bucket==b) inside a loop — re-scanned the
+    unpartitioned input once per bucket plus one driver round-trip per
+    bucket: thousands of full scans at the 4096-bucket grain.
+
+    ``recovery=True`` keeps the fine-grained commit-per-bucket loop
+    (commit unit = one bucket, durable after each append) for surgical
+    re-runs of individual buckets after repeated batch crashes.
     """
     data_path = os.path.join(out_dir, "extracted")
     audit_path = os.path.join(out_dir, "audit")
     done = set(committed_buckets(spark, audit_path))
     todo = [b for b in (buckets or range(n_buckets)) if b not in done]
+    if not todo:
+        return {
+            "processed": [],
+            "skipped": sorted(done),
+            "metrics": {"docs": 0, "failures": 0, "decode_fallbacks": 0, "bytes": 0},
+        }
 
-    bucketed = with_bucket(pages, n_buckets)
-    totals = {"docs": 0, "failures": 0, "decode_fallbacks": 0, "bytes": 0}
-    for b in todo:
-        part = bucketed.filter(F.col(BUCKET_COL) == b)
-        ext = extract_documents(
-            part.select("url", "warc_ts", "html", "text", "lang"), mode=mode
-        ).withColumn(BUCKET_COL, F.lit(b))
-        # 1) data commit (idempotent per-bucket overwrite)
-        ext.drop(BUCKET_COL).write.mode("overwrite").parquet(
-            os.path.join(data_path, f"bucket={b}")
-        )
-        # 2) audit commit — the bucket is durable only after this append
-        reread = spark.read.parquet(os.path.join(data_path, f"bucket={b}")).withColumn(
-            BUCKET_COL, F.lit(b)
-        )
-        metrics = partition_metrics(reread, run_id)
-        metrics.write.mode("append").parquet(audit_path)
-        agg = (
-            reread.agg(
-                F.count("*").alias("docs"),
-                F.sum(F.col("error_code").isNotNull().cast("long")).alias("failures"),
-                F.sum("decode_fallbacks").alias("fb"),
-                F.sum("n_bytes").alias("bytes"),
+    if recovery:
+        bucketed = with_bucket(pages, n_buckets)
+        totals = {"docs": 0, "failures": 0, "decode_fallbacks": 0, "bytes": 0}
+        for b in todo:
+            part = bucketed.filter(F.col(BUCKET_COL) == b)
+            ext = extract_documents(
+                part.select("url", "warc_ts", "html", "text", "lang"), mode=mode
             )
-        ).collect()[0]
-        totals["docs"] += agg["docs"]
-        totals["failures"] += agg["failures"] or 0
-        totals["decode_fallbacks"] += agg["fb"] or 0
-        totals["bytes"] += agg["bytes"] or 0
-    return {"processed": todo, "skipped": sorted(done), "metrics": totals}
+            # 1) data commit (idempotent per-bucket overwrite)
+            ext.write.mode("overwrite").parquet(os.path.join(data_path, f"bucket={b}"))
+            # 2) audit commit — the bucket is durable only after this append
+            reread = spark.read.parquet(os.path.join(data_path, f"bucket={b}")).withColumn(
+                BUCKET_COL, F.lit(b)
+            )
+            partition_metrics(reread, run_id).write.mode("append").parquet(audit_path)
+            for k, v in _totals_of(reread).items():
+                totals[k] += v
+        return {"processed": todo, "skipped": sorted(done), "metrics": totals}
+
+    pending = with_bucket(pages, n_buckets).filter(
+        F.col(BUCKET_COL).isin([int(b) for b in todo])
+    )
+    ext = extract_documents(
+        pending.select("url", "warc_ts", "html", "text", "lang"), mode=mode
+    ).withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # 1) data commit: one job, one input scan, only pending
+        # partitions overwritten (committed buckets untouched)
+        ext.write.partitionBy("bucket").mode("overwrite").parquet(data_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # 2) audit commit for ALL newly-written buckets in one append —
+    # partition pruning on the re-read keeps this to the new output
+    reread = (
+        spark.read.parquet(data_path)
+        .filter(F.col("bucket").isin([int(b) for b in todo]))
+        .withColumnRenamed("bucket", BUCKET_COL)
+    )
+    partition_metrics(reread, run_id).write.mode("append").parquet(audit_path)
+    return {"processed": todo, "skipped": sorted(done), "metrics": _totals_of(reread)}

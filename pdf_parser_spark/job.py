@@ -52,6 +52,12 @@ def main(argv=None) -> int:
     p.add_argument("--mode", default="first_valid", choices=["first_valid", "legacy", "stream"])
     p.add_argument("--buckets", type=int, default=64, help="commit granularity")
     p.add_argument("--local", type=int, default=None, help="local[N] master (bench/dev)")
+    p.add_argument(
+        "--recovery",
+        action="store_true",
+        help="fine-grained commit-per-bucket loop (surgical re-runs); "
+        "default is the one-pass dynamic-partition-overwrite batch",
+    )
     p.add_argument("--bench", action="store_true", help="print docs/sec JSON line")
     args = p.parse_args(argv)
 
@@ -81,6 +87,7 @@ def main(argv=None) -> int:
             run_id=args.run_id,
             n_buckets=args.buckets,
             mode=args.mode,
+            recovery=args.recovery,
         )
         docs = result["metrics"]["docs"]
     wall = time.time() - t0

@@ -48,6 +48,48 @@ def test_audit_commit_and_resume(spark, pages_df, tmp_path):
     assert adf.select("run_id").distinct().count() >= 2
 
 
+def test_audit_one_pass_single_extraction(spark, pages_df, tmp_path, monkeypatch):
+    """The default path must build ONE extraction plan over the input
+    for any number of pending buckets (round-1 re-scanned per bucket);
+    recovery mode keeps the per-bucket loop."""
+    calls = []
+    real = audit.extract_documents
+
+    def counting(df, mode="first_valid", **kw):
+        calls.append(1)
+        return real(df, mode=mode, **kw)
+
+    monkeypatch.setattr(audit, "extract_documents", counting)
+    out = str(tmp_path / "out")
+    r = audit.run_extraction_with_audit(spark, pages_df, out, run_id="r1", n_buckets=6)
+    assert r["processed"] == list(range(6))
+    assert len(calls) == 1  # six buckets, one input scan
+    extracted = spark.read.parquet(os.path.join(out, "extracted"))
+    assert extracted.count() == pages_df.count()
+
+    out2 = str(tmp_path / "out2")
+    r2 = audit.run_extraction_with_audit(
+        spark, pages_df, out2, run_id="r1", n_buckets=3, recovery=True
+    )
+    assert r2["processed"] == [0, 1, 2]
+    assert len(calls) == 1 + 3  # fine-grained mode: one plan per bucket
+
+
+def test_audit_mixed_mode_resume(spark, pages_df, tmp_path):
+    """Buckets committed by recovery mode are honored by the one-pass
+    path (shared layout + audit table), and vice versa."""
+    out = str(tmp_path / "out")
+    r1 = audit.run_extraction_with_audit(
+        spark, pages_df, out, run_id="r1", n_buckets=4, buckets=[1], recovery=True
+    )
+    assert r1["processed"] == [1]
+    r2 = audit.run_extraction_with_audit(spark, pages_df, out, run_id="r2", n_buckets=4)
+    assert r2["processed"] == [0, 2, 3] and r2["skipped"] == [1]
+    extracted = spark.read.parquet(os.path.join(out, "extracted"))
+    assert extracted.count() == pages_df.count()
+    assert extracted.select("url").distinct().count() == pages_df.count()
+
+
 def test_audit_row_grain_resume(spark, pages_df):
     done = pages_df.select("url").limit(50)
     pending = audit.resume_pending(pages_df, done)
