@@ -168,6 +168,16 @@ def logistic_bid(building_value: Column) -> Column:
     )
 
 
+def coerce_land(pp: Column, land: Column, known: Column) -> Column:
+    """F13 land coercion (engine/quote_calc.py:101-107): known ⇒ the
+    value IS dollars; else it's a percent (v > 1 ⇒ v/100) or a fraction
+    of the purchase price. Null land → 0.0 (the reference's
+    ``float(land_value or 0.0)``)."""
+    v = F.coalesce(land.cast("double"), F.lit(0.0))
+    pct = F.when(v > 1.0, v / 100.0).otherwise(v)
+    return F.when(known, v).otherwise(pp * pct)
+
+
 def compute_pricing(
     df: DataFrame,
     version: str = "v1",
@@ -181,6 +191,8 @@ def compute_pricing(
     floors: str = "floors",
     num_properties: str = "num_properties",
     rounding: str = "python",
+    known_land_value: Optional[str] = None,
+    upfront_ratio: float = 0.91,
 ) -> DataFrame:
     """One narrow ``select`` adding factors, bids, final bid, payments.
 
@@ -194,10 +206,22 @@ def compute_pricing(
     does, used by the oracle-checked queries). The two differ only on
     values whose shortest repr terminates exactly at 3 decimals in 5,
     e.g. ``pay_50_50`` of an odd-cent bid.
+
+    ``known_land_value``: name of a boolean column enabling F13 land
+    coercion (engine/quote_calc.py:101-107) — the land column is then
+    dollars when known, else percent-or-fraction of purchase price; the
+    coerced amount is emitted as ``land_amount``. Default None keeps
+    the tools/pricing_calculator.py contract (land IS dollars).
+
+    ``upfront_ratio``: F10 payment fork — 0.91 in
+    tools/pricing_calculator.py:202 and service/api.py:79 (the default),
+    0.909 in engine/quote_calc.py:260 (pass 0.909 for engine parity).
     """
     rnd = py_round if rounding == "python" else F.round
     pp = F.col(purchase_price).cast("double")
     lv = F.col(land_value).cast("double")
+    if known_land_value is not None:
+        lv = coerce_land(pp, lv, F.col(known_land_value).cast("boolean"))
     cx = F.col(capex).cast("double") if capex else F.lit(0.0)
     total_cost = pp + cx
 
@@ -239,8 +263,10 @@ def compute_pricing(
         * F.col("acres_factor") * F.col("property_type_factor")
         * F.col("floors_factor") * F.col("multi_prop_factor")
     )
+    land_cols = [lv.alias("land_amount")] if known_land_value is not None else []
     stage2 = stage1.select(
         "*",
+        *land_cols,
         linear.alias("_linear_raw"),
         logistic_bid(pp - lv + cx).alias("_logistic_raw"),
         (linear * F.col(num_properties).cast("double")).alias("_multi_raw"),
@@ -262,10 +288,33 @@ def compute_pricing(
     fb = F.col("final_bid")
     return stage3.select(
         "*",
-        rnd(fb * 0.91, 2).alias("pay_upfront"),
+        rnd(fb * F.lit(float(upfront_ratio)), 2).alias("pay_upfront"),
         rnd(fb / 2, 2).alias("pay_50_50"),
         rnd(fb / 4, 2).alias("pay_over_time"),
     ).drop("_linear_raw", "_logistic_raw", "_multi_raw")
+
+
+def with_payment_block(
+    df: DataFrame,
+    quote: str = "final_quote",
+    rush_fee: str = "rush_fee",
+    upfront_ratio: float = 0.909,
+    rounding: str = "python",
+) -> DataFrame:
+    """The engine's quote-doc payment block (engine/quote_calc.py:259-270):
+    originally_quoted / pay_upfront (×0.909 — the F10 fork) / pay_50_50 /
+    pay_over_time_amount + the fixed note. Input must not already carry
+    these names (case-insensitive resolver)."""
+    rnd = py_round if rounding == "python" else F.round
+    q = F.col(quote).cast("double")
+    return df.select(
+        "*",
+        rnd(q, 2).alias("originally_quoted"),
+        rnd(q * F.lit(float(upfront_ratio)), 2).alias("pay_upfront_engine"),
+        rnd(q / 2, 2).alias("pay_50_50_engine"),
+        rnd(q / 4, 2).alias("pay_over_time_amount"),
+        F.lit("Up to 36 months").alias("pay_over_time_note"),
+    )
 
 
 def apply_adjustments(

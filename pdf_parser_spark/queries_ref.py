@@ -473,6 +473,92 @@ FROM adj
 """
 
 
+def q_pricing_engine_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 + F10: the engine /quote/document forks — land coercion
+    (engine/quote_calc.py:101-107: known ⇒ dollars, else
+    percent-or-fraction of price) feeding the logistic building value,
+    and the 0.909 engine payment block (engine/quote_calc.py:259-270;
+    the adapter/api path uses 0.91 — covered by pricing_v1/v2)."""
+    inp = _pricing_inputs(spark, sf_dir, 3)
+    k = F.col("o_orderkey")
+    inp = inp.withColumn("known_land", k % 3 == 0).withColumn(
+        "land_value",
+        F.when(k % 3 == 0, F.col("land_value"))            # known: dollars
+        .when(k % 3 == 1, (5 + k % 90).cast("double"))     # >1: percent
+        .otherwise((k % 10).cast("double") / F.lit(10.0)), # ≤1: fraction
+    )
+    priced = pricing.compute_pricing(
+        inp, version="v2", rounding="half_up",
+        known_land_value="known_land", upfront_ratio=0.909,
+    )
+    out = pricing.with_payment_block(
+        priced.select("o_orderkey", "land_amount", "final_bid"),
+        quote="final_bid", rounding="half_up",
+    )
+    return out.select(
+        "o_orderkey",
+        F.round(F.col("land_amount"), 2).alias("land_amount"),
+        "final_bid",
+        "originally_quoted",
+        F.col("pay_upfront_engine").alias("pay_upfront_909"),
+        F.col("pay_50_50_engine").alias("pay_50_50"),
+        "pay_over_time_amount",
+        "pay_over_time_note",
+    )
+
+
+def _sql_pricing_engine_quote() -> str:
+    p = pricing
+    cb = sqlgen.sql_ge_chain("(pp + cx)", p.COST_BASIS_V2)
+    zf = sqlgen.sql_zip_factor("zip_code", "v2")
+    sf = sqlgen.sql_sqft_factor("sqft", "v2")
+    af = sqlgen.sql_acres_factor("acres")
+    ptf = sqlgen.sql_map_chain("property_type", p.PROPERTY_TYPE_V2, p.PROPERTY_TYPE_DEFAULT)
+    ff = sqlgen.sql_ge_chain("floors", p.FLOORS)
+    mpf = sqlgen.sql_ge_chain("nprop", p.MULTI_PROP_V2)
+    return f"""
+WITH inp0 AS ({_PRICING_INPUTS_SQL.replace('{rem}', '3')}),
+inp AS (
+  SELECT *, (o_orderkey % 3 = 0) AS known,
+         CASE WHEN o_orderkey % 3 = 0 THEN lv
+              WHEN o_orderkey % 3 = 1 THEN CAST(5 + o_orderkey % 90 AS DOUBLE)
+              ELSE CAST(o_orderkey % 10 AS DOUBLE) / 10.0 END AS lraw
+  FROM inp0
+),
+land AS (
+  SELECT *, CASE WHEN known THEN lraw
+                 ELSE pp * (CASE WHEN lraw > 1.0 THEN lraw / 100.0 ELSE lraw END)
+            END AS land_amt
+  FROM inp
+),
+fac AS (
+  SELECT *, {cb} AS cbf, {zf} AS zff, {sf} AS sff, {af} AS aff,
+         {ptf} AS ptff, {ff} AS flf, {mpf} AS mpff
+  FROM land
+),
+bids AS (
+  SELECT *,
+    ((pp + cx) * {sqlgen.flit(p.LINEAR_RATE)} + {sqlgen.flit(p.LINEAR_BASE)})
+      * cbf * zff * sff * aff * ptff * flf * mpff AS linear_raw,
+    {sqlgen.sql_logistic_bid('(pp - land_amt + cx)')} AS logistic_raw
+  FROM fac
+),
+bids2 AS (SELECT *, linear_raw * nprop AS multi_raw FROM bids),
+sel AS (
+  SELECT *, {sqlgen.sql_round2('greatest(least(linear_raw, logistic_raw, multi_raw), 100.0)')}
+    AS final_bid
+  FROM bids2
+)
+SELECT o_orderkey, {sqlgen.sql_round2('land_amt')} AS land_amount, final_bid,
+       {sqlgen.sql_round2('final_bid')} AS originally_quoted,
+       {sqlgen.sql_round2('final_bid * 0.909')} AS pay_upfront_909,
+       {sqlgen.sql_round2('final_bid / 2')} AS pay_50_50,
+       {sqlgen.sql_round2('final_bid / 4')} AS pay_over_time_amount,
+       'Up to 36 months' AS pay_over_time_note
+FROM sel
+"""
+
+
 # ----------------------------------------------------------------------
 # J1 as an explicit broadcast range join
 # ----------------------------------------------------------------------
@@ -803,6 +889,7 @@ def ref_queries():
         "pricing_v1": _q_pricing("v1", 0),
         "pricing_v2": _q_pricing("v2", 1),
         "pricing_adjustments": q_pricing_adjustments,
+        "pricing_engine_quote": q_pricing_engine_quote,
         "ladder_range_join": q_ladder_range_join,
         "bonus_interval_join": q_bonus_interval_join,
         "macrs_lookup_join": q_macrs_lookup_join,
@@ -826,6 +913,7 @@ def ref_oracle_sql():
         "pricing_v1": _sql_pricing("v1", 0),
         "pricing_v2": _sql_pricing("v2", 1),
         "pricing_adjustments": _sql_pricing_adjustments(),
+        "pricing_engine_quote": _sql_pricing_engine_quote(),
         "ladder_range_join": SQL_LADDER_RANGE_JOIN,
         "bonus_interval_join": SQL_BONUS_INTERVAL_JOIN,
         "macrs_lookup_join": _sql_macrs_lookup(),

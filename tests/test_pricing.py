@@ -10,7 +10,11 @@ import sys
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from pdf_parser_spark.pricing import apply_adjustments, compute_pricing, ladder_dim, ladder_join
+
+F_lit = F.lit
 
 
 def _load(path, name):
@@ -172,3 +176,129 @@ def test_ladder_join_matches_chain(spark, grid_df):
     assert bad == 0
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ----------------------------------------------------------------------
+# engine/quote_calc.py forks: F13 land coercion + F10 0.909 payments
+# (the module imports openpyxl at top-level for its xlsx ctor path —
+# stubbed here; the methods under test never touch the workbook)
+# ----------------------------------------------------------------------
+def _load_engine():
+    import types
+
+    had = "openpyxl" in sys.modules
+    if not had:
+        stub = types.ModuleType("openpyxl")
+        stub.load_workbook = None
+        sys.modules["openpyxl"] = stub
+    try:
+        return _load("/root/reference/engine/quote_calc.py", "ref_engine_quote")
+    finally:
+        # drop the spec-less stub so importlib.util.find_spec stays sane
+        # (the engine bound load_workbook at import; no later lookups)
+        if not had:
+            del sys.modules["openpyxl"]
+
+
+REF_ENGINE = _load_engine()
+
+LAND_CASES = [
+    # (purchase_price, land_value, known)
+    (1_000_000.0, 150_000.0, True),   # known ⇒ dollars verbatim
+    (1_000_000.0, 10.0, False),       # >1 ⇒ percent
+    (1_000_000.0, 0.15, False),       # ≤1 ⇒ fraction
+    (1_000_000.0, 1.0, False),        # boundary: 1.0 is a fraction (not >1)
+    (1_000_000.0, 1.5, False),        # just above: percent
+    (800_000.0, None, False),         # null ⇒ 0.0
+    (800_000.0, None, True),
+    (123_456.0, 33.0, False),
+    (123_456.0, 0.0, True),
+]
+
+
+def test_land_coercion_parity_vs_engine(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.pricing import coerce_land
+
+    rows = [
+        dict(case_id=i, pp=pp, land=land, known=known)
+        for i, (pp, land, known) in enumerate(LAND_CASES)
+    ]
+    df = spark.createDataFrame(rows, "case_id int, pp double, land double, known boolean")
+    got = {
+        r["case_id"]: r["land_amt"]
+        for r in df.select(
+            "case_id", coerce_land(F.col("pp"), F.col("land"), F.col("known")).alias("land_amt")
+        ).collect()
+    }
+    for i, (pp, land, known) in enumerate(LAND_CASES):
+        exp = REF_ENGINE.QuoteCalculator._coerce_land_amount(pp, land, known)
+        assert got[i] == pytest.approx(exp, abs=0.0), f"case {i}"
+
+
+def test_payment_block_parity_vs_engine(spark):
+    from pdf_parser_spark.pricing import with_payment_block
+
+    calc = REF_ENGINE.QuoteCalculator.__new__(REF_ENGINE.QuoteCalculator)
+    quotes = [1908.19, 2235.0, 100.0, 999.99, 1736.45, 12345.67, 333.33, 0.01]
+    df = spark.createDataFrame(
+        [dict(case_id=i, final_quote=q, rush_fee=float(i % 3) * 500.0) for i, q in enumerate(quotes)]
+    )
+    got = {r["case_id"]: r for r in with_payment_block(df, rounding="python").collect()}
+    for i, q in enumerate(quotes):
+        exp = calc._payment_block(q, rush_fee=float(i % 3) * 500.0)
+        r = got[i]
+        assert r["originally_quoted"] == exp["originally_quoted"]
+        assert r["pay_upfront_engine"] == exp["pay_upfront"], f"0.909 fork, case {i}"
+        assert r["pay_50_50_engine"] == exp["pay_50_50"]
+        assert r["pay_over_time_amount"] == exp["pay_over_time_amount"]
+        assert r["pay_over_time_note"] == exp["pay_over_time_note"]
+
+
+def test_upfront_ratio_fork_in_compute_pricing(spark):
+    """compute_pricing(upfront_ratio=0.909) reproduces the engine's
+    upfront payment on its own final bid; the default stays 0.91."""
+    df = spark.createDataFrame(
+        [dict(purchase_price=1_000_000.0, land_value=150_000.0, capex=0.0,
+              zip_code=85260, property_type="Multi-Family", sqft_building=38_000.0,
+              acres_land=2.0, floors=2, num_properties=1)]
+    )
+    r91 = compute_pricing(df, version="v1").collect()[0]
+    r909 = compute_pricing(df, version="v1", upfront_ratio=0.909).collect()[0]
+    assert r91["final_bid"] == r909["final_bid"] == 1908.19
+    assert r91["pay_upfront"] == round(1908.19 * 0.91, 2)
+    assert r909["pay_upfront"] == round(1908.19 * 0.909, 2)
+
+
+def test_land_coercion_in_compute_pricing_vs_engine_quote(spark):
+    """nat_log-style land handling end to end: the coerced land amount
+    feeds the logistic bid's building value, matching the engine's
+    build_quote_doc land math (engine/quote_calc.py:289-296)."""
+    rows = [
+        dict(case_id=0, purchase_price=1_000_000.0, land_value=10.0, known_land=False),
+        dict(case_id=1, purchase_price=1_000_000.0, land_value=150_000.0, known_land=True),
+        dict(case_id=2, purchase_price=2_000_000.0, land_value=0.2, known_land=False),
+    ]
+    df = spark.createDataFrame(rows).select(
+        "*",
+        *[
+            # constant non-land pricing inputs
+            c for c in []
+        ],
+    ).withColumns(
+        {
+            "capex": F_lit(0.0), "zip_code": F_lit(85260),
+            "property_type": F_lit("Office"), "sqft_building": F_lit(38_000.0),
+            "acres_land": F_lit(2.0), "floors": F_lit(2.0), "num_properties": F_lit(1.0),
+        }
+    )
+    out = {
+        r["case_id"]: r
+        for r in compute_pricing(df, version="v1", known_land_value="known_land").collect()
+    }
+    for row in rows:
+        exp_land = REF_ENGINE.QuoteCalculator._coerce_land_amount(
+            row["purchase_price"], row["land_value"], row["known_land"]
+        )
+        assert out[row["case_id"]]["land_amount"] == pytest.approx(exp_land, abs=0.0)
