@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .functions.rounding import py_round
+
 # ----------------------------------------------------------------------
 # tables (exact values of cost_seg/macrs_tables.py:8-88)
 # ----------------------------------------------------------------------
@@ -818,4 +820,114 @@ def with_engine_inputs_rcgv(
         amt(b7).alias("amt_7yr"),
         amt(alloc_15).alias("amt_15yr"),
         amt(alloc_bldg).alias("amt_bldg"),
+    )
+
+
+# ----------------------------------------------------------------------
+# D12: legacy simplified schedule generators (named modes)
+# ----------------------------------------------------------------------
+# engine/quote_calc.py:35-48 — property type → depreciation period
+LEGACY_DEP_PERIODS: Dict[str, float] = {
+    "Multi-Family": 27.5, "Residential/LTR": 27.5, "Short-Term Rental": 27.5,
+    "Office": 39.0, "Retail": 39.0, "Industrial": 39.0, "Warehouse": 39.0,
+    "Hotel": 39.0, "Medical": 39.0, "Restaurant": 39.0, "Mixed-Use": 39.0,
+    "Other": 39.0,
+}
+LEGACY_DEP_DEFAULT = 27.5
+
+
+def legacy_building_value(
+    pp: Column, land: Column, known: Column, capex_amount: Column,
+    capex_yes: Optional[Column] = None,
+) -> Column:
+    """building_value = pp − coerced land + capex. The engine gates
+    capex on the 'Yes' flag (engine/quote_calc.py:185); the api path
+    adds it unconditionally (service/api.py:75) — pass ``capex_yes``
+    for the engine form."""
+    from .pricing import coerce_land
+
+    cx = F.coalesce(capex_amount.cast("double"), F.lit(0.0))
+    if capex_yes is not None:
+        cx = F.when(capex_yes == "Yes", cx).otherwise(F.lit(0.0))
+    return pp - coerce_land(pp, land, known) + cx
+
+
+def legacy_schedule(
+    df: DataFrame,
+    variant: str = "legacy_v1",
+    bv_col: str = "building_value",
+    ptype_col: str = "property_type",
+    rounding: str = "python",
+) -> DataFrame:
+    """D12 legacy simplified schedules, superseded by the full MACRS
+    engine (D10, SURVEY §7.5) but still served by the reference:
+
+    - ``legacy_v1`` (engine/quote_calc.py:166-257, the /quote/document
+      fallback): 15/10/75 split; flat 20%/"200% DB" 5yr with a year-6
+      half-year, flat 10% 15yr with a year-16 half-year, straight-line
+      building; bonus = 5yr+15yr portions entirely in year 1; period
+      27.5/39 by property type; int(period)+1 rows.
+    - ``legacy_v2`` (service/api.py:83-116, the /quote endpoint): fixed
+      27.5-year standard; year 1 takes 80% of building value as bonus,
+      years 2-27 spread the remaining 20% over 27; every component is
+      round()ed BEFORE summing (the reference's shape, kept verbatim).
+
+    Association order and rounding points mirror the reference line by
+    line so the reference-executed pytest oracles match exactly.
+    Shuffle-free: explode(sequence) + literal arithmetic, same plan
+    shape as depreciation_schedule (test_plans asserts zero Exchange).
+    """
+    rnd = py_round if rounding == "python" else F.round
+    bv = F.col(bv_col).cast("double")
+    if variant == "legacy_v1":
+        per = None
+        for k, v in LEGACY_DEP_PERIODS.items():
+            cond = F.col(ptype_col) == k
+            per = F.when(cond, F.lit(v)) if per is None else per.when(cond, F.lit(v))
+        per = per.otherwise(F.lit(LEGACY_DEP_DEFAULT))
+        staged = df.select(
+            "*",
+            per.alias("_dy"),
+            F.explode(F.sequence(F.lit(1), F.floor(per).cast("int") + 1)).alias("year"),
+        )
+        dy = F.col("_dy")
+        y = F.col("year")
+        five = bv * F.lit(0.15)
+        fifteen = bv * F.lit(0.10)
+        bldgp = bv * F.lit(0.75)
+        std = F.when(y <= dy, bv / dy).otherwise(F.lit(0.0))
+        trad5 = (
+            F.when(y <= 5, five * F.lit(0.20))
+            .when(y == 6, five * F.lit(0.20) * F.lit(0.5))
+            .otherwise(F.lit(0.0))
+        )
+        trad15 = (
+            F.when(y <= 15, fifteen * F.lit(0.10))
+            .when(y == 16, fifteen * F.lit(0.10) * F.lit(0.5))
+            .otherwise(F.lit(0.0))
+        )
+        tradb = F.when(y <= dy, bldgp / dy).otherwise(F.lit(0.0))
+        trad = trad5 + trad15 + tradb
+        bonus = F.when(y == 1, five + fifteen + tradb).otherwise(tradb)
+        return staged.select(
+            "*",
+            rnd(trad, 2).alias("cost_seg_est"),
+            rnd(std, 2).alias("std_dep"),
+            rnd(trad, 2).alias("trad_cost_seg"),
+            rnd(bonus, 2).alias("bonus_dep"),
+        ).drop("_dy")
+    if variant != "legacy_v2":
+        raise ValueError(f"unknown legacy variant {variant!r}")
+    staged = df.select("*", F.explode(F.sequence(F.lit(1), F.lit(27))).alias("year"))
+    y = F.col("year")
+    std = rnd(bv / F.lit(27.5), 2)
+    y1_bonus = rnd(bv * F.lit(0.8), 2)
+    y1_trad = rnd(bv * F.lit(0.2) / F.lit(27.5), 2) + rnd(bv * F.lit(0.8) / F.lit(5), 2)
+    annual = rnd(bv * F.lit(0.2) / F.lit(27), 2)
+    return staged.select(
+        "*",
+        F.when(y == 1, y1_bonus).otherwise(annual).alias("cost_seg_est"),
+        std.alias("std_dep"),
+        F.when(y == 1, y1_trad).otherwise(annual).alias("trad_cost_seg"),
+        F.when(y == 1, y1_bonus).otherwise(annual).alias("bonus_dep"),
     )

@@ -560,6 +560,131 @@ FROM sel
 
 
 # ----------------------------------------------------------------------
+# D12: legacy simplified schedule modes
+# ----------------------------------------------------------------------
+def _legacy_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 == 4)
+    k = F.col("o_orderkey")
+    df = o.select(
+        k.alias("o_orderkey"),
+        (F.col("o_totalprice") * F.lit(20.0)).alias("purchase_price"),
+        F.when(k % 3 == 0, F.col("o_totalprice") * F.lit(4.0))
+        .when(k % 3 == 1, (5 + k % 90).cast("double"))
+        .otherwise((k % 10).cast("double") / F.lit(10.0))
+        .alias("land_value"),
+        (k % 3 == 0).alias("known_land_value"),
+        ((k % 5).cast("double") * F.lit(10000.0)).alias("capex_amount"),
+        F.when(k % 2 == 0, "Yes").otherwise("No").alias("capex"),
+        _ptype_col().alias("property_type"),
+    )
+    return df.select(
+        "*",
+        dep.legacy_building_value(
+            F.col("purchase_price"), F.col("land_value"), F.col("known_land_value"),
+            F.col("capex_amount"), capex_yes=F.col("capex"),
+        ).alias("building_value"),
+    )
+
+
+_LEGACY_BV_SQL = """
+  SELECT o_orderkey,
+         pp - (CASE WHEN known THEN lraw
+                    ELSE pp * (CASE WHEN lraw > 1.0 THEN lraw / 100.0 ELSE lraw END) END)
+            + (CASE WHEN cx_yes THEN cxa ELSE CAST(0.0 AS DOUBLE) END) AS bv,
+         ptype
+  FROM (
+    SELECT o_orderkey,
+           o_totalprice * 20.0 AS pp,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 4.0
+                WHEN o_orderkey % 3 = 1 THEN CAST(5 + o_orderkey % 90 AS DOUBLE)
+                ELSE CAST(o_orderkey % 10 AS DOUBLE) / 10.0 END AS lraw,
+           (o_orderkey % 3 = 0) AS known,
+           CAST(o_orderkey % 5 AS DOUBLE) * 10000.0 AS cxa,
+           (o_orderkey % 2 = 0) AS cx_yes,
+           {ptype} AS ptype
+    FROM orders WHERE o_orderkey % 9 = 4
+  )
+""".replace("{ptype}", _PTYPE_SQL)
+
+
+def q_depr_legacy_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 legacy mode 1 (engine/quote_calc.py:166-257): 15/10/75 split,
+    flat DB approximations, full bonus in year 1, period by type."""
+    out = dep.legacy_schedule(_legacy_inputs(spark, sf_dir), variant="legacy_v1", rounding="half_up")
+    return out.select(
+        "o_orderkey", "year", "cost_seg_est", "std_dep", "trad_cost_seg", "bonus_dep"
+    )
+
+
+def _sql_depr_legacy_v1() -> str:
+    fl = sqlgen.flit
+    periods = dep.LEGACY_DEP_PERIODS
+    mf = [k for k, v in periods.items() if v == 27.5]
+    arms = " ".join(
+        [f"WHEN ptype IN ({', '.join(repr(x) for x in mf)}) THEN {fl(27.5)}"]
+        + [f"WHEN ptype = {k!r} THEN {fl(v)}" for k, v in periods.items() if v != 27.5]
+    )
+    five = f"(bv * {fl(0.15)})"
+    fifteen = f"(bv * {fl(0.10)})"
+    bldgp = f"(bv * {fl(0.75)})"
+    std = f"(CASE WHEN year <= dy THEN bv / dy ELSE {fl(0.0)} END)"
+    trad5 = (
+        f"(CASE WHEN year <= 5 THEN {five} * {fl(0.20)}"
+        f" WHEN year = 6 THEN {five} * {fl(0.20)} * {fl(0.5)} ELSE {fl(0.0)} END)"
+    )
+    trad15 = (
+        f"(CASE WHEN year <= 15 THEN {fifteen} * {fl(0.10)}"
+        f" WHEN year = 16 THEN {fifteen} * {fl(0.10)} * {fl(0.5)} ELSE {fl(0.0)} END)"
+    )
+    tradb = f"(CASE WHEN year <= dy THEN {bldgp} / dy ELSE {fl(0.0)} END)"
+    trad = f"({trad5} + {trad15} + {tradb})"
+    bonus = f"(CASE WHEN year = 1 THEN {five} + {fifteen} + {tradb} ELSE {tradb} END)"
+    return f"""
+WITH bvt AS ({_LEGACY_BV_SQL}),
+per AS (
+  SELECT o_orderkey, bv, (CASE {arms} ELSE {fl(27.5)} END) AS dy FROM bvt
+),
+yrs AS (
+  SELECT *, unnest(generate_series(1, CAST(floor(dy) AS INT) + 1)) AS year FROM per
+)
+SELECT o_orderkey, CAST(year AS INT) AS year,
+       {sqlgen.sql_round2(trad)} AS cost_seg_est,
+       {sqlgen.sql_round2(std)} AS std_dep,
+       {sqlgen.sql_round2(trad)} AS trad_cost_seg,
+       {sqlgen.sql_round2(bonus)} AS bonus_dep
+FROM yrs
+"""
+
+
+def q_depr_legacy_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 legacy mode 2 (service/api.py:83-116): 80% bonus year 1,
+    remaining 20% over years 2-27, fixed 27.5-year standard line."""
+    out = dep.legacy_schedule(_legacy_inputs(spark, sf_dir), variant="legacy_v2", rounding="half_up")
+    return out.select(
+        "o_orderkey", "year", "cost_seg_est", "std_dep", "trad_cost_seg", "bonus_dep"
+    )
+
+
+def _sql_depr_legacy_v2() -> str:
+    fl = sqlgen.flit
+    r2 = sqlgen.sql_round2
+    std = r2(f"bv / {fl(27.5)}")
+    y1_bonus = r2(f"bv * {fl(0.8)}")
+    y1_trad = f"({r2(f'bv * {fl(0.2)} / {fl(27.5)}')} + {r2(f'bv * {fl(0.8)} / {fl(5.0)}')})"
+    annual = r2(f"bv * {fl(0.2)} / {fl(27.0)}")
+    return f"""
+WITH bvt AS ({_LEGACY_BV_SQL}),
+yrs AS (SELECT *, unnest(generate_series(1, 27)) AS year FROM bvt)
+SELECT o_orderkey, CAST(year AS INT) AS year,
+       (CASE WHEN year = 1 THEN {y1_bonus} ELSE {annual} END) AS cost_seg_est,
+       {std} AS std_dep,
+       (CASE WHEN year = 1 THEN {y1_trad} ELSE {annual} END) AS trad_cost_seg,
+       (CASE WHEN year = 1 THEN {y1_bonus} ELSE {annual} END) AS bonus_dep
+FROM yrs
+"""
+
+
+# ----------------------------------------------------------------------
 # J1 as an explicit broadcast range join
 # ----------------------------------------------------------------------
 def q_ladder_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -897,6 +1022,8 @@ def ref_queries():
         "depr_schedule": q_depr_schedule,
         "depr_schedule_ads": q_depr_schedule_ads,
         "depr_schedule_totals": q_depr_schedule_totals,
+        "depr_legacy_v1": q_depr_legacy_v1,
+        "depr_legacy_v2": q_depr_legacy_v2,
         "sink_row_assembly": q_sink_row_assembly,
     }
 
@@ -921,6 +1048,8 @@ def ref_oracle_sql():
         "depr_schedule": _sql_depr_schedule(),
         "depr_schedule_ads": _sql_depr_schedule_ads(),
         "depr_schedule_totals": _sql_depr_schedule_totals(),
+        "depr_legacy_v1": _sql_depr_legacy_v1(),
+        "depr_legacy_v2": _sql_depr_legacy_v2(),
         "sink_row_assembly": SQL_SINK_ROW_ASSEMBLY,
     }
 
