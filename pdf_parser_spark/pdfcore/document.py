@@ -170,6 +170,16 @@ def parse_pdf(data: bytes) -> PdfDocument:
     except (XrefError, LexError, ValueError) as e:
         raise PdfError("bad_xref", f"cannot build xref: {e}") from None
 
+    # encrypted documents: /Encrypt in the trailer (ISO 32000-1 §7.6).
+    # RC4/AES content decryption is out of scope (the reference gets it
+    # via vendored pdf.js); a typed row beats a misleading 'internal' —
+    # real Common-Crawl-style corpora contain encrypted PDFs. Presence
+    # check only: the Encrypt ref is NOT resolved (it may dangle).
+    if store.trailer.get("Encrypt") is not None:
+        raise PdfError(
+            "encrypted", "document has an /Encrypt dictionary (decryption unsupported)"
+        )
+
     fallbacks = 1 if store.used_fallback else 0
 
     try:

@@ -225,3 +225,44 @@ def test_transform_zero_predicate():
     items = doc.pages[0].items
     assert items[0].transform[0] != 0
     assert items[1].transform[0] == 0
+
+
+def test_encrypted_pdf_typed_error():
+    """/Encrypt in the trailer → typed 'encrypted' error, both classic
+    and xref-stream layouts; the ref is NOT resolved (it may dangle)."""
+    b = PdfBuilder()
+    pg = b.new_page()
+    pg.text(72, 720, "secret text")
+    pdf = b.build()
+    enc = pdf.replace(b"trailer\n<< ", b"trailer\n<< /Encrypt 99 0 R ", 1)
+    assert enc != pdf
+    with pytest.raises(PdfError) as ei:
+        parse_pdf(enc)
+    assert ei.value.code == "encrypted"
+    # the pristine build still parses
+    assert parse_pdf(pdf).pages[0].text() == "secret text"
+
+
+def test_encrypted_pdf_becomes_error_row(spark):
+    """End to end: an encrypted PDF lands as error_code='encrypted' and
+    is counted in the audit failure metrics, never thrown."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark import audit
+    from pdf_parser_spark.extract import extract_documents
+
+    b = PdfBuilder()
+    pg = b.new_page()
+    pg.text(72, 720, "secret")
+    enc = b.build().replace(b"trailer\n<< ", b"trailer\n<< /Encrypt 99 0 R ", 1)
+    pages = spark.createDataFrame(
+        [("enc://1", None, enc, None, "en")],
+        "url string, warc_ts timestamp_ntz, html binary, text string, lang string",
+    )
+    row = extract_documents(pages).collect()[0]
+    assert row["error_code"] == "encrypted"
+    assert "Encrypt" in row["error_message"]
+    m = audit.partition_metrics(
+        audit.with_bucket(extract_documents(pages), 4), "r-enc"
+    ).collect()
+    assert sum(r["failures"] for r in m) == 1
