@@ -410,22 +410,18 @@ def discover_ladder(sheet, header: str, factor_header: str, header_row: int = 2)
 def load_ladder_tables(path: str, pairs, sheet_name: str = "VLOOKUP Tables", header_row: int = 2):
     """S4: one-time driver-side dim load → dict of ladders.
 
-    ``.xlsx`` needs openpyxl (import-gated: absent in this sandbox —
-    the reference's ``pd.read_excel(..., header=None)`` path is
-    preserved verbatim behind the gate); ``.csv`` covers the same
-    whole-sheet-scan semantics dependency-free.
+    ``.xlsx`` is read by the dependency-free stdlib reader
+    (:mod:`.xlsxlite` — zip + XML, value-equivalent to the reference's
+    ``pd.read_excel(path, sheet_name=..., header=None)``,
+    engine/quote_calc.py:52); ``.csv`` covers the same whole-sheet-scan
+    semantics for exported sheets.
     """
     import pandas as pd
 
     if path.endswith(".xlsx"):
-        try:
-            import openpyxl  # noqa: F401
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "xlsx ladders need openpyxl (not in this sandbox); "
-                "export the workbook sheet to csv or install openpyxl"
-            ) from e
-        sheet = pd.read_excel(path, sheet_name=sheet_name, header=None)
+        from .xlsxlite import read_sheet
+
+        sheet = pd.DataFrame(read_sheet(path, sheet_name))
     else:
         sheet = pd.read_csv(path, header=None)
     return {h: discover_ladder(sheet, h, fh, header_row) for h, fh in pairs}
