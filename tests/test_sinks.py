@@ -140,13 +140,12 @@ def test_ladder_csv_discovery(tmp_path, spark):
     assert got == {1: 1.0, 2: 1.01, 3: 1.02}
 
 
-def test_ladder_xlsx_gated(tmp_path):
+def test_ladder_xlsx_corrupt_file(tmp_path):
+    """.xlsx now loads via the stdlib reader (no openpyxl gate);
+    non-zip bytes fail loudly, not silently."""
+    import zipfile
+
     fake = tmp_path / "wb.xlsx"
     fake.write_bytes(b"not really xlsx")
-    try:
-        import openpyxl  # noqa: F401
-
-        pytest.skip("openpyxl present; gate not exercised")
-    except ImportError:
-        with pytest.raises(NotImplementedError, match="openpyxl"):
-            pricing.load_ladder_tables(str(fake), [("A", "B")])
+    with pytest.raises(zipfile.BadZipFile):
+        pricing.load_ladder_tables(str(fake), [("A", "B")])
