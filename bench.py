@@ -3,17 +3,29 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-- ``value`` = wall seconds of the flagship extraction job (the north
-  star is documents/sec; ``extraction_docs_per_sec`` is included).
+Canonical corpus (round-2 reconciliation — ONE corpus, two extraction
+metrics, so BENCH_r{N}.json and BASELINE.md can never disagree again):
+
+- 60,000 synthesized pages (.bench/pages_60000.parquet, deterministic
+  index-keyed generation: 60% quote PDFs across 5 structural variants,
+  35% HTML, 5% corrupt, 1/1000 jumbo 100-page docs — synth/pages.py);
+- ``parse_docs_per_sec``       parse-only (url/n_pages/error_code
+  projection) — the apples-to-apples twin of scaling_bench's raw
+  multiprocessing control;
+- ``extraction_docs_per_sec``  the FULL pipeline (parse + record
+  extraction + validation) — the number a user gets end to end.
+
+Timing: one warm-up, then best-of-2 per job — this box is a noisy
+shared-host VM (wall time fluctuates 3x run-to-run; BASELINE.md §Box
+noise), and best-of-N measures the code, not the neighbors.
+
 - every query is forced with a noop sink (count() would let Catalyst
   prune the very expressions under test).
-- the extraction corpus is synthesized deterministically ONCE per size
-  into .bench/ (quote PDFs + HTML + corrupt + jumbo rows, seedless
-  index-keyed generation — see pdf_parser_spark/synth/pages.py).
 
 Scaling evidence (north rule: efficiency >= 0.8 from N to 4N): run
-``python scripts/scaling_bench.py`` — same job at local[8] vs
-local[32]; results recorded in BASELINE.md §"Scaling evidence".
+``python scripts/scaling_bench.py`` — same job, same corpus recipe, at
+local[8] vs local[32]; results recorded in BASELINE.md §"Scaling
+evidence".
 """
 
 from __future__ import annotations
@@ -35,7 +47,7 @@ from pdf_parser_spark.validate import with_validation
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "6000"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
 
 
 def ensure_corpus(n: int) -> str:
@@ -52,6 +64,18 @@ def noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def best_of(job, runs: int = 2, warm: bool = True) -> float:
+    """Wall seconds, minimum over ``runs`` after an untimed warm-up."""
+    if warm:
+        noop(job())
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        noop(job())
+        best = min(best, time.time() - t0)
+    return best
+
+
 def extraction_pipeline(spark, corpus_path: str, parallelism: int = None):
     """The flagship job: read → salt → parse → record → validate."""
     pages = spark.read.parquet(corpus_path)
@@ -64,16 +88,25 @@ def main() -> None:
     corpus = ensure_corpus(N_DOCS)
     spark = get_spark("bench", master=f"local[{CPUS}]")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    # local corpora are a few hundred MB — split finer than the 128 MB
+    # cluster default so the scan side parallelizes too
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
 
     queries = {}
 
-    # flagship extraction (timed twice; first run includes JVM/Arrow warmup)
-    noop(extraction_pipeline(spark, corpus).drop("meta_items", "spans"))
-    t0 = time.time()
-    noop(extraction_pipeline(spark, corpus).drop("meta_items", "spans"))
-    t_extract = time.time() - t0
+    # flagship extraction on the canonical corpus: full pipeline + the
+    # parse-only twin of the scaling-bench hardware control
+    t_extract = best_of(
+        lambda: extraction_pipeline(spark, corpus).drop("meta_items", "spans")
+    )
     queries["extraction_pipeline"] = round(t_extract, 3)
+    t_parse = best_of(
+        lambda: extract_documents(
+            salted(spark.read.parquet(corpus), CPUS)
+        ).select("url", "n_pages", "error_code")
+    )
+    queries["extraction_parse_only"] = round(t_parse, 3)
 
     # engine + training-data headliners at SF_DIR
     import __spark_entry__ as entrymod
@@ -81,8 +114,10 @@ def main() -> None:
     qs = entrymod.queries()
     for name in [
         "pricing_v1",
+        "pricing_engine_quote",
         "depr_481a",
         "depr_schedule",
+        "depr_legacy_v1",
         "lineitem_agg",
         "nation_revenue_topk",
         "window_cumsum",
@@ -95,10 +130,9 @@ def main() -> None:
         "token_counts",
         "ann_cosine_topk",
         "ann_rp_lsh",
+        "embedding_near_dups",
     ]:
-        t0 = time.time()
-        noop(qs[name](spark, SF_DIR))
-        queries[name] = round(time.time() - t0, 3)
+        queries[name] = round(best_of(lambda q=qs[name]: q(spark, SF_DIR)), 3)
 
     total = round(sum(queries.values()), 3)
     print(
@@ -111,6 +145,8 @@ def main() -> None:
                 "sf": sf,
                 "extraction_docs": N_DOCS,
                 "extraction_docs_per_sec": round(N_DOCS / t_extract, 1),
+                "parse_docs_per_sec": round(N_DOCS / t_parse, 1),
+                "timing": "best_of_2_after_warmup",
                 "cpus": CPUS,
             }
         )
