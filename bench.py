@@ -103,7 +103,7 @@ def main() -> None:
     queries["extraction_pipeline"] = round(t_extract, 3)
     t_parse = best_of(
         lambda: extract_documents(
-            salted(spark.read.parquet(corpus), CPUS)
+            salted(spark.read.parquet(corpus), CPUS), output="meta"
         ).select("url", "n_pages", "error_code")
     )
     queries["extraction_parse_only"] = round(t_parse, 3)
@@ -128,6 +128,7 @@ def main() -> None:
         "language_id",
         "quality_score",
         "token_counts",
+        "corpus_select",
         "ann_cosine_topk",
         "ann_rp_lsh",
         "embedding_near_dups",

@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 
 from .htmlcore import extract_main_text
 from .pdfcore import PdfError, parse_pdf
+from pyspark.sql.types import StructType
+
 from .schema import EXTRACT_SCHEMA
 
 # pages whose white-text concat contains this marker are metadata
@@ -49,8 +51,14 @@ def sniff_doc_type(blob: Optional[bytes]) -> str:
     return "unknown"
 
 
-def _extract_one(blob: Optional[bytes], mode: str) -> dict:
-    """Extract a single document. Never raises."""
+def _extract_one(blob: Optional[bytes], mode: str, want_text: bool = True) -> dict:
+    """Extract a single document. Never raises.
+
+    ``want_text=False`` skips assembling the heavy output fields
+    (text/spans/meta_items) — the PARSE work is identical, but nothing
+    string-shaped is built or shipped. Used by the ``meta`` output mode
+    for metrics/audit-only scans.
+    """
     out = {
         "doc_type": sniff_doc_type(blob),
         "text": None,
@@ -76,6 +84,9 @@ def _extract_one(blob: Optional[bytes], mode: str) -> dict:
             return out
         out["n_pages"] = doc.num_pages
         out["decode_fallbacks"] = doc.decode_fallbacks
+        if not want_text:
+            out["n_items"] = sum(len(p.items) for p in doc.pages)
+            return out
         # doc text + per-item spans (character offsets into doc text)
         spans: List[dict] = []
         parts: List[str] = []
@@ -115,9 +126,10 @@ def _extract_one(blob: Optional[bytes], mode: str) -> dict:
     elif out["doc_type"] == "html":
         try:
             text, spans = extract_main_text(blob.decode("utf-8", errors="replace"))
-            out["text"] = text
-            out["spans"] = [{"start": s, "end": e} for s, e in spans]
             out["n_pages"] = 1
+            if want_text:
+                out["text"] = text
+                out["spans"] = [{"start": s, "end": e} for s, e in spans]
         except Exception as e:  # noqa: BLE001
             out["error_code"] = "html_error"
             out["error_message"] = f"{type(e).__name__}: {e}"[:500]
@@ -128,43 +140,62 @@ def _extract_one(blob: Optional[bytes], mode: str) -> dict:
 
 
 _OUT_COLS = [f.name for f in EXTRACT_SCHEMA.fields]
+# the heavy output fields the 'meta' mode neither builds nor ships
+_HEAVY_COLS = {"text", "spans", "meta_items"}
+_META_COLS = [c for c in _OUT_COLS if c not in _HEAVY_COLS]
+META_SCHEMA = StructType([f for f in EXTRACT_SCHEMA.fields if f.name in _META_COLS])
 
 
-def _make_mapper(mode: str):
+def _make_mapper(mode: str, want_text: bool = True):
+    out_cols = _OUT_COLS if want_text else _META_COLS
+
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_batch in batches:
             # columnar assembly: list-of-dicts → pd.DataFrame re-infers
             # every cell (slow with nested spans/meta_items); building
             # per-column lists keeps batch overhead flat
-            cols = {name: [] for name in _OUT_COLS}
+            cols = {name: [] for name in out_cols}
             for url, warc_ts, blob, lang in zip(
                 pdf_batch["url"].tolist(),
                 pdf_batch["warc_ts"].tolist(),
                 pdf_batch["html"].tolist(),
                 pdf_batch["lang"].tolist(),
             ):
-                rec = _extract_one(bytes(blob) if blob is not None else None, mode)
+                rec = _extract_one(
+                    bytes(blob) if blob is not None else None, mode, want_text
+                )
                 rec["url"] = url
                 rec["warc_ts"] = warc_ts
                 rec["lang"] = lang
-                for name in _OUT_COLS:
+                for name in out_cols:
                     cols[name].append(rec[name])
-            yield pd.DataFrame(cols, columns=_OUT_COLS)
+            yield pd.DataFrame(cols, columns=out_cols)
 
     return mapper
 
 
-def extract_documents(pages: DataFrame, mode: str = "first_valid") -> DataFrame:
+def extract_documents(
+    pages: DataFrame, mode: str = "first_valid", output: str = "full"
+) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → EXTRACT_SCHEMA DataFrame.
 
     ``mode``: ``first_valid`` (the current reference parser,
     ``src/services/pdfParser/index.ts:34-69``) or ``legacy`` (last-page
     marker path, ``src/services/pdfParser.ts:104-114``).
 
-    Column pruning: only (url, warc_ts, html, lang) are read — the
-    golden ``text`` column never ships to Python.
+    ``output``: ``full`` (everything) or ``meta`` (parse identically but
+    neither build nor ship text/spans/meta_items). Catalyst cannot prune
+    columns THROUGH mapInPandas — a downstream select still pays Python
+    assembly + Arrow transfer of every field — so metrics/audit-only
+    scans must push the projection into the mapper, which is what
+    ``meta`` does.
+
+    Column pruning inbound: only (url, warc_ts, html, lang) are read —
+    the golden ``text`` column never ships to Python.
     """
     needed = pages.select("url", "warc_ts", "html", "lang")
+    if output == "meta":
+        return needed.mapInPandas(_make_mapper(mode, want_text=False), schema=META_SCHEMA)
     return needed.mapInPandas(_make_mapper(mode), schema=EXTRACT_SCHEMA)
 
 

@@ -631,6 +631,68 @@ FROM documents
 
 
 # ----------------------------------------------------------------------
+# composite training-data pipeline: dedup → language → quality → tokens
+# ----------------------------------------------------------------------
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-selection pipeline a training-data run
+    performs, composed from the individual operators: exact dedup
+    (canonical = min doc_id per digest — the planted +100000 copies
+    MUST disappear, so the dedup stage is observable in the output),
+    then language gate (en), quality gate (≥ 0.75), minimum length
+    (≥ 10 ws tokens), emitting the kept docs with their token budget.
+    One digest shuffle + three doc_id joins (AQE-coalesced); every
+    stage native Catalyst."""
+    corpus = _dup_corpus(spark, sf_dir, exact=True)
+    canon = (
+        corpus.groupBy(F.md5("text").alias("_digest"))
+        .agg(F.min_by(F.struct(F.col("doc_id"), F.col("text")), F.col("doc_id")).alias("_c"))
+        .select(F.col("_c.doc_id").alias("doc_id"), F.col("_c.text").alias("text"))
+    )
+    ql = textops.quality_score(canon).select("doc_id", "quality_score")
+    lang = textops.language_id(canon).select("doc_id", "lang_pred")
+    tok = textops.token_counts(canon).select("doc_id", "ws_tokens", "est_bpe_tokens")
+    out = (
+        canon.select("doc_id")
+        .join(ql, "doc_id")
+        .join(lang, "doc_id")
+        .join(tok, "doc_id")
+        .filter(
+            (F.col("quality_score") >= 0.75)
+            & (F.col("lang_pred") == "en")
+            & (F.col("ws_tokens") >= 10)
+        )
+    )
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        F.round("quality_score", 6).alias("quality_score"),
+        "ws_tokens",
+        "est_bpe_tokens",
+    )
+
+
+def _sql_corpus_select() -> str:
+    lq = _sql_language_id().replace("FROM documents", "FROM canon")
+    qq = _sql_quality_score().replace("FROM documents", "FROM canon")
+    tq = SQL_TOKEN_COUNTS.replace("FROM documents", "FROM canon")
+    return f"""
+WITH corpus AS ({_SQL_EXACT_CORPUS}),
+canon AS (
+  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+  FROM corpus GROUP BY md5(text)
+),
+lq AS ({lq}),
+qq AS ({qq}),
+tq AS ({tq})
+SELECT c.doc_id, lq.lang_pred, round(qq.quality_score, 6) AS quality_score,
+       tq.ws_tokens, tq.est_bpe_tokens
+FROM canon c
+JOIN lq USING (doc_id) JOIN qq USING (doc_id) JOIN tq USING (doc_id)
+WHERE qq.quality_score >= 0.75 AND lq.lang_pred = 'en' AND tq.ws_tokens >= 10
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 def data_queries():
@@ -658,6 +720,7 @@ def data_queries():
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "event_sessions": q_event_sessions,
+        "corpus_select": q_corpus_select,
         "json_props": q_json_props,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_resize": q_multimodal_resize,
@@ -688,6 +751,7 @@ def data_oracle_sql():
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "event_sessions": SQL_EVENT_SESSIONS,
+        "corpus_select": _sql_corpus_select(),
         "json_props": SQL_JSON_PROPS,
         "multimodal_metadata": SQL_MULTIMODAL_METADATA,
         "multimodal_resize": _sql_multimodal_resize(),

@@ -50,8 +50,13 @@ def run_spark_at(cpus: int, corpus: str, n_docs: int) -> dict:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
 
     def parse_only():
+        # output='meta': matched work with the mp control — parse only,
+        # no text/span assembly, no heavy Arrow transfer (projection
+        # pushed INTO the mapper; Catalyst can't prune mapInPandas)
         pages = spark.read.parquet(corpus)
-        return extract_documents(salted(pages, cpus)).select("url", "n_pages", "error_code")
+        return extract_documents(salted(pages, cpus), output="meta").select(
+            "url", "n_pages", "error_code"
+        )
 
     out = {}
     for key, job in (("parse", parse_only), ("full", lambda: extraction_pipeline(spark, corpus, cpus).drop("meta_items", "spans"))):

@@ -221,3 +221,28 @@ def test_no_python_udf_outside_extract_stage(spark, extracted):
     recs = extract_record(extracted, mode="typed")
     plan = recs._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_meta_output_mode_matches_full(spark, pages_parquet):
+    """output='meta' must agree with the full pipeline on every light
+    column — identical parse, just no text/spans/meta_items assembly or
+    Arrow transfer (Catalyst can't prune through mapInPandas)."""
+    from pdf_parser_spark.extract import extract_documents
+
+    pages = spark.read.parquet(pages_parquet)
+    light = [
+        "url", "doc_type", "n_pages", "n_items",
+        "error_code", "decode_fallbacks", "n_bytes",
+    ]
+    full = {r["url"]: r for r in extract_documents(pages).select(*light).collect()}
+    meta = {r["url"]: r for r in extract_documents(pages, output="meta").select(*light).collect()}
+    assert set(full) == set(meta)
+    for url, fr in full.items():
+        mr = meta[url]
+        for c in light:
+            if c == "n_items" and fr["doc_type"] == "pdf" and fr["error_code"] is None:
+                assert mr[c] == fr[c], (url, c)
+            elif c != "n_items":
+                assert mr[c] == fr[c], (url, c)
+    schema_names = {f.name for f in extract_documents(pages, output="meta").schema.fields}
+    assert schema_names.isdisjoint({"text", "spans", "meta_items"})
