@@ -14,7 +14,7 @@ designed for scale:
                            ball candidate pairs;
 - n-gram Jaccard         — exact verification on candidate pairs (or
                            full self-join at small scale);
-- language id            — stopword-hit scoring over 5 languages;
+- language id            — stopword-hit scoring over 7 languages;
 - quality scoring        — length / punctuation / stopword / word-size
                            signals in one pass;
 - token counting         — whitespace + regex token counts;
@@ -320,11 +320,17 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, b
 # ----------------------------------------------------------------------
 # language id / quality / tokens / fingerprint
 # ----------------------------------------------------------------------
+# Tie-break priority = dict order (en first); both the Catalyst
+# expression and the generated DuckDB oracle derive from this dict, so
+# adding a language updates both engines in lockstep.
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
     "de": ["der", "die", "das", "und", "ist", "von", "mit", "nicht", "ein", "zu"],
     "fr": ["le", "la", "les", "et", "est", "de", "un", "une", "que", "pour"],
     "es": ["el", "la", "los", "y", "es", "de", "un", "una", "que", "por"],
+    "it": ["il", "la", "che", "di", "e", "un", "una", "per", "non", "sono"],
+    "pt": ["o", "a", "os", "as", "e", "de", "um", "uma", "que", "para"],
+    "nl": ["de", "het", "een", "en", "van", "is", "dat", "niet", "op", "te"],
 }
 
 
@@ -334,10 +340,9 @@ def stopword_hits(words: Column, lang: str) -> Column:
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-hit argmax over {en,de,fr,es}; 'und' (undetermined) if 0 hits.
-
-    Ties break by language order en,de,fr,es (greatest-struct trick:
-    score desc, then fixed priority)."""
+    """Stopword-hit argmax over STOPWORDS' languages; 'und'
+    (undetermined) if 0 hits. Ties break by dict order, en first
+    (greatest-struct trick: score desc, then fixed priority)."""
     langs = list(STOPWORDS)
     tokenized = df.select(F.col(id_col), norm_words(F.col(text_col)).alias("_w"))
     words = F.col("_w")

@@ -132,3 +132,22 @@ def test_jaccard_cap_keeps_true_dups(spark, docs):
     pruned boilerplate (dup pair 0~1 shares all shingles)."""
     rows = textops.ngram_jaccard_pairs(docs, threshold=0.9, max_doc_freq=3).collect()
     assert [(r["id_a"], r["id_b"]) for r in rows if r["jaccard"] == 1.0] == [(0, 1)]
+
+
+def test_language_id_extended_breadth(spark):
+    """it/pt/nl join the detector; existing languages keep winning
+    their own documents despite shared stopwords (de/nl 'de' clash)."""
+    rows = [
+        (0, "il gatto e il cane sono una cosa che non va per niente"),
+        (1, "o gato e o cachorro sao os animais que estao para a casa"),
+        (2, "de hond en de kat is een dier dat niet op de bank te zien is"),
+        (3, "the quick brown fox is in the yard and it is fast"),
+        (4, "der hund und die katze ist nicht von dem haus zu sehen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    preds = {r["doc_id"]: r["lang_pred"] for r in textops.language_id(df).collect()}
+    assert preds[0] == "it"
+    assert preds[1] == "pt"
+    assert preds[2] == "nl"
+    assert preds[3] == "en"
+    assert preds[4] == "de"
