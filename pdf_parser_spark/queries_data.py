@@ -560,8 +560,11 @@ FROM r WHERE rank <= 10
 
 
 def q_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (LSH) ANN — no SQL oracle (recall < 1 by design);
-    recall-vs-exact is asserted in tests/test_simsearch.py."""
+    """Approximate (LSH) ANN. Approximate ≠ nondeterministic: the
+    hyperplanes derive from fixed seeds, so the exact answer (bucket
+    collisions + exact rerank) has a full DuckDB oracle built from the
+    SAME plane literals. Recall-vs-exact is additionally asserted in
+    tests/test_simsearch.py."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -572,8 +575,61 @@ def q_ann_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_COS = (
+    "list_inner_product({a}, {b})"
+    " / (sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+)
+
+
+def _sql_rp_bucket_arms(vcol: str, dim: int, bits: int, tables: int, seed: int = 7) -> str:
+    """The b-bit sign signature per table as a CASE over ``tbl`` — the
+    hyperplane LITERALS come from the same simsearch.hyperplane(seed)
+    the Spark numpy kernel uses, so buckets match bit for bit."""
+    arms = []
+    for t in range(tables):
+        terms = []
+        for b in range(bits):
+            pl = simsearch.hyperplane(seed + t * 10_007 + b, dim)
+            lit = "CAST([" + ",".join(repr(x) for x in pl) + "] AS DOUBLE[])"
+            terms.append(
+                f"(CASE WHEN list_inner_product({vcol}, {lit}) >= 0 THEN {1 << b} ELSE 0 END)"
+            )
+        arms.append(f"WHEN {t} THEN (" + " + ".join(terms) + ")")
+    return "(CASE tbl " + " ".join(arms) + " END)"
+
+
+def _sql_ann_rp_lsh() -> str:
+    bucket = _sql_rp_bucket_arms("v", 64, 6, 4)
+    sim = _SQL_COS.format(a="cv.v", b="qv.v")
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+keyed AS (
+  SELECT vec_id, v, t.tbl, {bucket} AS bucket
+  FROM c CROSS JOIN (SELECT unnest(range(4)) AS tbl) t
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, a.vec_id
+  FROM keyed a JOIN keyed q ON a.tbl = q.tbl AND a.bucket = q.bucket
+  WHERE q.vec_id < 8 AND a.vec_id <> q.vec_id
+),
+s AS (
+  SELECT cand.query_id, cand.vec_id, {sim} AS sim
+  FROM cand JOIN c cv ON cv.vec_id = cand.vec_id JOIN c qv ON qv.vec_id = cand.query_id
+),
+r AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(sim, 6) AS cosine_sim
+FROM r WHERE rank <= 10
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN — no SQL oracle (approximate by design)."""
+    """IVF ANN. The centroid hash (simsearch.ivf_bucket) is plain
+    integer arithmetic both engines evaluate identically, so the whole
+    probe/rerank answer has an exact DuckDB oracle."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -582,6 +638,50 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "vec_id", "rank", F.round(F.col("cosine_sim"), 6).alias("cosine_sim")
     )
+
+
+def _sql_ann_ivf(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    from .simsearch import IVF_HASH_P
+
+    bucket = f"((vec_id * 1000003 + 12345) % {IVF_HASH_P}) % {n_centroids}"
+    asg_sim = _SQL_COS.format(a="c.v", b="cv.cvec")
+    probe_sim = _SQL_COS.format(a="q.v", b="cv.cvec")
+    rerank_sim = _SQL_COS.format(a="cand.v", b="qv.v")
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT min(vec_id) AS cid FROM (SELECT vec_id, {bucket} AS b FROM c) GROUP BY b),
+cv AS (SELECT cent.cid, c.v AS cvec FROM cent JOIN c ON c.vec_id = cent.cid),
+asg AS (
+  SELECT vec_id, v, cid AS list_id FROM (
+    SELECT c.vec_id, c.v, cv.cid,
+           row_number() OVER (PARTITION BY c.vec_id ORDER BY {asg_sim} DESC, cv.cid) AS rn
+    FROM c CROSS JOIN cv
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, list_id FROM (
+    SELECT q.vec_id AS query_id, cv.cid AS list_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {probe_sim} DESC, cv.cid) AS pr
+    FROM c q CROSS JOIN cv WHERE q.vec_id < 8
+  ) WHERE pr <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, a.v
+  FROM asg a JOIN probes p ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+),
+s AS (
+  SELECT cand.query_id, cand.vec_id, {rerank_sim} AS sim
+  FROM cand JOIN c qv ON qv.vec_id = cand.query_id
+),
+r AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(sim, 6) AS cosine_sim
+FROM r WHERE rank <= {k}
+"""
 
 
 # ----------------------------------------------------------------------
@@ -749,6 +849,9 @@ def data_oracle_sql():
         "token_counts": SQL_TOKEN_COUNTS,
         "fingerprint": SQL_FINGERPRINT,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+        "ann_rp_lsh": _sql_ann_rp_lsh(),
+        "ann_ivf": _sql_ann_ivf(),
+        "embedding_near_dups_lsh": _sql_embedding_near_dups_lsh(),
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "event_sessions": SQL_EVENT_SESSIONS,
         "corpus_select": _sql_corpus_select(),
@@ -756,8 +859,6 @@ def data_oracle_sql():
         "multimodal_metadata": SQL_MULTIMODAL_METADATA,
         "multimodal_resize": _sql_multimodal_resize(),
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
-        # ann_rp_lsh / ann_ivf / embedding_near_dups_lsh: approximate —
-        # rows-only check on purpose
         "multimodal_meta": SQL_MULTIMODAL_META,
     }
 
@@ -815,13 +916,46 @@ SELECT id_a, id_b, round(sim, 6) AS cosine_sim FROM p WHERE sim >= 0.5
 
 
 def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup pairs over the same planted corpus —
-    approximate (recall < 1), so rows-only in the driver check; recall
-    vs the exact baseline is asserted in tests/test_scale_ops.py."""
+    """LSH-bucketed near-dup pairs over the same planted corpus.
+    Approximate recall vs the exact baseline (asserted in
+    tests/test_scale_ops.py) but DETERMINISTIC given the seeded
+    hyperplanes — the DuckDB oracle replays the identical bucket
+    collisions + exact verification from the same plane literals."""
     out = simsearch.lsh_near_dup_pairs(
         _near_dup_corpus(spark, sf_dir), dim=64, threshold=0.5, bits=8, tables=6
     )
     return out.select("id_a", "id_b", F.round(F.col("cosine_sim"), 6).alias("cosine_sim"))
+
+
+def _sql_embedding_near_dups_lsh() -> str:
+    bucket = _sql_rp_bucket_arms("v", 64, 8, 6)
+    sim = _SQL_COS.format(a="ca.v", b="cb.v")
+    return f"""
+WITH c0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 3 = 0
+),
+c AS (
+  SELECT vec_id, v FROM c0
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, [v[1] + CAST(0.25 AS DOUBLE)] || v[2:] AS v
+  FROM c0 WHERE vec_id % 12 = 0
+),
+keyed AS (
+  SELECT vec_id, v, t.tbl, {bucket} AS bucket
+  FROM c CROSS JOIN (SELECT unnest(range(6)) AS tbl) t
+),
+pair AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+s AS (
+  SELECT pair.id_a, pair.id_b, {sim} AS sim
+  FROM pair JOIN c ca ON ca.vec_id = pair.id_a JOIN c cb ON cb.vec_id = pair.id_b
+)
+SELECT id_a, id_b, round(sim, 6) AS cosine_sim FROM s WHERE sim >= 0.5
+"""
 
 
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

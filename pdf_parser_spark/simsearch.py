@@ -210,6 +210,19 @@ def rp_lsh_topk(
 # ----------------------------------------------------------------------
 # IVF (inverted-file) coarse quantization
 # ----------------------------------------------------------------------
+IVF_HASH_P = 2_147_483_647  # 2^31 − 1: products stay < 2^62, no overflow
+
+
+def ivf_bucket(cid: Column, n_centroids: int) -> Column:
+    """Deterministic centroid bucket: ((id·1000003 + 12345) mod p) mod n.
+
+    Pure 64-bit integer arithmetic — the DuckDB oracle evaluates the
+    identical expression, so centroid selection (and therefore the whole
+    IVF answer) is exactly reproducible across engines."""
+    h = F.pmod(cid.cast("bigint") * F.lit(1_000_003) + F.lit(12_345), F.lit(IVF_HASH_P))
+    return F.pmod(h, F.lit(n_centroids))
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -218,20 +231,24 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest deterministic centroid.
 
-    Centroids = per hash-bucket minimum: bucket = pmod(xxhash64(id),
-    n_centroids), centroid = the member with the smallest id in each
-    bucket (``min_by`` — map-side combinable, so every task reduces to
-    ≤ n_centroids rows before the one tiny shuffle; no global sort, no
-    window, no count job — the round-1 global ``Window.orderBy`` funneled
-    the whole corpus through one task). Deterministic (k-means would
-    drift run-to-run; resumability beats a marginally better partition).
-    Returns corpus + ``list_id``. At scale the assignment is a broadcast
-    nested-loop argmin — the corpus is never shuffled; write the result
-    bucketed by list_id for probe locality.
+    Centroids = per hash-bucket minimum: bucket = multiplicative hash
+    of the id mod n_centroids (:func:`ivf_bucket` — integer math both
+    Spark AND DuckDB evaluate bit-identically, so the whole IVF search
+    has an exact SQL oracle; swap for ``xxhash64`` at production scale
+    if oracle-ability is not needed), centroid = the member with the
+    smallest id in each bucket (``min_by`` — map-side combinable, so
+    every task reduces to ≤ n_centroids rows before the one tiny
+    shuffle; no global sort, no window, no count job — the round-1
+    global ``Window.orderBy`` funneled the whole corpus through one
+    task). Deterministic (k-means would drift run-to-run; resumability
+    beats a marginally better partition). Returns corpus + ``list_id``.
+    At scale the assignment is a broadcast nested-loop argmin — the
+    corpus is never shuffled; write the result bucketed by list_id for
+    probe locality.
     """
     cents = (
         corpus.select(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids)).alias("_b"),
+            ivf_bucket(F.col(id_col), n_centroids).alias("_b"),
             F.col(id_col).alias("cid"),
             F.col(vec_col).alias("cvec"),
         )

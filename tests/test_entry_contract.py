@@ -68,7 +68,7 @@ def test_registry_shape():
     # every oracle key must have a query
     assert set(sqls) <= set(qs)
     # approximate ANN ops are the only rows-only entries
-    assert set(qs) - set(sqls) == {"ann_rp_lsh", "ann_ivf", "embedding_near_dups_lsh"}
+    assert set(qs) - set(sqls) == set()  # every query is oracle-checked
 
 
 @pytest.mark.parametrize("name", SUBSET)
