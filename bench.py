@@ -129,6 +129,7 @@ def main() -> None:
         "quality_score",
         "token_counts",
         "corpus_select",
+        "pii_redaction",
         "ann_cosine_topk",
         "ann_rp_lsh",
         "embedding_near_dups",

@@ -731,6 +731,99 @@ FROM documents
 
 
 # ----------------------------------------------------------------------
+# PII redaction + repetition signals
+# ----------------------------------------------------------------------
+_PII_PLANT = " contact admin@example.com or 192.168.1.10 or +1 (555) 123-4567"
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene pass with planted PII (doc_id % 7 == 0) so counts
+    and replacements are non-trivially checked; redacted text compared
+    via md5."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(_PII_PLANT)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = textops.redact_pii(d)
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.md5("redacted_text").alias("redacted_md5"),
+    )
+
+
+def _sql_pii_redaction() -> str:
+    from .textops import PII_PATTERNS
+
+    sql = f"""
+WITH s0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || '{_PII_PLANT}' ELSE text END AS t0
+  FROM documents
+)"""
+    cur = "t0"
+    prev = "s0"
+    counts = []
+    for i, (kind, pat, token) in enumerate(PII_PATTERNS):
+        nxt, stage = f"t{i + 1}", f"s{i + 1}"
+        counts.append(f"n_{kind}s")
+        sql += f""",
+{stage} AS (
+  SELECT *, len(regexp_extract_all({cur}, '{pat}')) AS n_{kind}s,
+         regexp_replace({cur}, '{pat}', '{token}', 'g') AS {nxt}
+  FROM {prev}
+)"""
+        cur, prev = nxt, stage
+    cols = ", ".join(f"CAST({c} AS INT) AS {c}" for c in counts)
+    return sql + f"\nSELECT doc_id, {cols}, md5({cur}) AS redacted_md5 FROM {prev}"
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates; doc_id % 9 == 0 gets planted
+    duplicate lines so dup_line_frac is live at driver scale."""
+    plant = F.lit("\nrepeat line here\nrepeat line here\nrepeat line here")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 0, F.concat(F.col("text"), plant))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textops.repetition_signals(d)
+
+
+def _sql_repetition_signals() -> str:
+    bigrams = (
+        "(CASE WHEN len(words) < 2 THEN CAST([] AS VARCHAR[]) "
+        "ELSE list_transform(generate_series(1, len(words) - 1), "
+        "i -> array_to_string(words[i:i+1], ' ')) END)"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0
+              THEN text || chr(10) || 'repeat line here' || chr(10) || 'repeat line here' || chr(10) || 'repeat line here'
+              ELSE text END AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS ln,
+         {bigrams.replace('words', _SQL_WORDS)} AS bg
+  FROM corpus
+)
+SELECT doc_id,
+       CAST(len(ln) AS INT) AS n_lines,
+       round(CASE WHEN len(ln) > 0 THEN 1.0 - len(list_distinct(ln)) / len(ln) ELSE 0.0 END, 6) AS dup_line_frac,
+       CAST(len(bg) AS INT) AS n_bigrams,
+       round(CASE WHEN len(bg) > 0
+                  THEN list_max(list_transform(list_distinct(bg), b -> len(list_filter(bg, x -> x = b)))) / len(bg)
+                  ELSE 0.0 END, 6) AS top_bigram_frac
+FROM base
+"""
+
+
+# ----------------------------------------------------------------------
 # composite training-data pipeline: dedup → language → quality → tokens
 # ----------------------------------------------------------------------
 def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,6 +914,8 @@ def data_queries():
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "event_sessions": q_event_sessions,
         "corpus_select": q_corpus_select,
+        "pii_redaction": q_pii_redaction,
+        "repetition_signals": q_repetition_signals,
         "json_props": q_json_props,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_resize": q_multimodal_resize,
@@ -855,6 +950,8 @@ def data_oracle_sql():
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "event_sessions": SQL_EVENT_SESSIONS,
         "corpus_select": _sql_corpus_select(),
+        "pii_redaction": _sql_pii_redaction(),
+        "repetition_signals": _sql_repetition_signals(),
         "json_props": SQL_JSON_PROPS,
         "multimodal_metadata": SQL_MULTIMODAL_METADATA,
         "multimodal_resize": _sql_multimodal_resize(),

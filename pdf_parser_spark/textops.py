@@ -433,3 +433,77 @@ def fingerprint(
     hashes = F.transform(grams, lambda g: _hash64(g))
     selected = F.array_sort(F.array_distinct(F.filter(hashes, lambda h: h % mod_p == 0)))
     return df.select(F.col(id_col), selected.alias("fingerprint"), F.size(selected).alias("fp_size"))
+
+
+# ----------------------------------------------------------------------
+# PII redaction + repetition signals (training-data hygiene operators)
+# ----------------------------------------------------------------------
+# Conservative regex subset evaluated identically by Java (Spark) and
+# RE2 (DuckDB): character classes, bounded quantifiers, \b. Applied in
+# list order — each pattern counts/redacts on the PREVIOUS pattern's
+# output, mirrored exactly in the oracle SQL.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / IPv4s / phone-ish digit runs; emit per-kind
+    counts and the redacted text. One narrow projection, no shuffle —
+    at corpus scale this is a pure map stage."""
+    stage = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    counts = []
+    cur = "_t"
+    for i, (kind, pat, token) in enumerate(PII_PATTERNS):
+        nxt = f"_t{i}"
+        stage = stage.select(
+            "*",
+            F.regexp_count(F.col(cur), F.lit(pat)).alias(f"n_{kind}s"),
+            F.regexp_replace(F.col(cur), pat, token).alias(nxt),
+        )
+        counts.append(f"n_{kind}s")
+        cur = nxt
+    return stage.select(
+        F.col(id_col),
+        *[F.col(c).cast("int").alias(c) for c in counts],
+        F.col(cur).alias("redacted_text"),
+    )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals, explode-free:
+
+    - ``dup_line_frac``   1 − distinct/total over trimmed non-empty lines;
+    - ``top_bigram_frac`` occurrences of the most frequent word bigram
+      over total bigrams (O(d·n) per document via distinct×filter —
+      documents are bounded, the corpus is not; no shuffle).
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    base = df.select(
+        F.col(id_col),
+        lines.alias("_ln"),
+        word_shingles(norm_words(F.col(text_col)), 2).alias("_bg"),
+    )
+    n_lines = F.size(F.col("_ln"))
+    n_dl = F.size(F.array_distinct(F.col("_ln")))
+    dup_line_frac = F.when(n_lines > 0, 1.0 - n_dl / n_lines).otherwise(F.lit(0.0))
+    n_bg = F.size(F.col("_bg"))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("_bg")),
+            lambda b: F.size(F.filter(F.col("_bg"), lambda x: x == b)),
+        )
+    )
+    top_frac = F.when(n_bg > 0, top / n_bg).otherwise(F.lit(0.0))
+    return base.select(
+        F.col(id_col),
+        n_lines.cast("int").alias("n_lines"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        n_bg.cast("int").alias("n_bigrams"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+    )

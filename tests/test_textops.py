@@ -151,3 +151,38 @@ def test_language_id_extended_breadth(spark):
     assert preds[2] == "nl"
     assert preds[3] == "en"
     assert preds[4] == "de"
+
+
+def test_redact_pii(spark):
+    rows = [
+        (0, "write to john.doe+x@mail.example.org today"),
+        (1, "server at 10.0.255.3 and backup 192.168.1.1"),
+        (2, "call +1 (555) 123-4567 now"),
+        (3, "no pii here at all"),
+        (4, "a@b.co and 1.2.3.4 and 555 867 5309 x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.redact_pii(df).collect()}
+    assert (out[0]["n_emails"], out[0]["n_ips"], out[0]["n_phones"]) == (1, 0, 0)
+    assert "<EMAIL>" in out[0]["redacted_text"] and "@" not in out[0]["redacted_text"]
+    assert out[1]["n_ips"] == 2 and out[1]["redacted_text"].count("<IP>") == 2
+    assert out[2]["n_phones"] == 1 and "<PHONE>" in out[2]["redacted_text"]
+    assert out[3]["redacted_text"] == "no pii here at all"
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_phones"]) == (1, 1, 1)
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (0, "alpha beta\nalpha beta\nalpha beta\ngamma delta"),  # 2 dup lines of 4
+        (1, "spam ham spam ham spam ham spam ham"),              # one dominant bigram
+        (2, "all distinct lines\nno repeats anywhere\nclean text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.repetition_signals(df).collect()}
+    assert out[0]["n_lines"] == 4
+    assert out[0]["dup_line_frac"] == 0.5  # 4 lines, 2 distinct
+    # 7 bigrams, 'spam ham' appears 4x
+    assert out[1]["n_bigrams"] == 7
+    assert out[1]["top_bigram_frac"] == round(4 / 7, 6)
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] < 0.5
