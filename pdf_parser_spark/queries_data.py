@@ -207,6 +207,45 @@ FROM events GROUP BY 1
 """
 
 
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window gap-session aggregation (batch form of
+    streaming.session_window_counts — same operator runs on a stream
+    with watermark-closed emission). Microsecond-exact boundaries:
+    session end = last event + gap, end-exclusive."""
+    from .streaming import session_window_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _read(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = session_window_counts(e, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+    )
+
+
+SQL_SESSION_WINDOW_AGG = """
+WITH g AS (
+  SELECT user_id, value, epoch_us(ts) AS us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+         row_number() OVER w AS rn
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, value, us,
+         sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_draft_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12 draft-upsert semantics: last write per key wins."""
     e = _read(spark, sf_dir, "events")
@@ -913,6 +952,7 @@ def data_queries():
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "event_sessions": q_event_sessions,
+        "session_window_agg": q_session_window_agg,
         "corpus_select": q_corpus_select,
         "pii_redaction": q_pii_redaction,
         "repetition_signals": q_repetition_signals,
@@ -949,6 +989,7 @@ def data_oracle_sql():
         "embedding_near_dups_lsh": _sql_embedding_near_dups_lsh(),
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
         "event_sessions": SQL_EVENT_SESSIONS,
+        "session_window_agg": SQL_SESSION_WINDOW_AGG,
         "corpus_select": _sql_corpus_select(),
         "pii_redaction": _sql_pii_redaction(),
         "repetition_signals": _sql_repetition_signals(),

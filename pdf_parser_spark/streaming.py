@@ -134,6 +134,36 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: 
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user gap-session aggregation via native ``F.session_window``
+    — the streaming form of :func:`sessionize` (same gap semantics:
+    window end extends to last event + gap; a closed session emits once
+    the watermark passes its end). Works on batch AND streaming frames;
+    state is managed by Spark's session-window operator, partitioned by
+    (user, session)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

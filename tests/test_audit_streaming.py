@@ -210,3 +210,53 @@ def test_windowed_event_counts_streaming_mode(spark, tmp_path):
     # hour stays open, the first two close
     assert len(got) == 2
     assert sum(r["n_events"] for r in got) == 12
+
+
+def test_session_window_streaming_mode(spark, tmp_path):
+    """Native session windows on a real stream: gap-separated bursts
+    per user; append mode emits only watermark-closed sessions."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_parser_spark.streaming import session_window_counts
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0, tzinfo=dt.timezone.utc)
+    rows = []
+    # user 0: two bursts separated by 2 h; user 1: one burst
+    for m in (0, 5, 10, 120, 125):
+        rows.append((base + dt.timedelta(minutes=m), 0, 1.0))
+    for m in (0, 20):
+        rows.append((base + dt.timedelta(minutes=m), 1, 2.0))
+    # a late sentinel far in the future advances the watermark so the
+    # real sessions close
+    rows.append((base + dt.timedelta(hours=12), 9, 0.0))
+    src = tmp_path / "sess_stream"
+    src.mkdir()
+    table = pa.Table.from_pylist(
+        [{"ts": r[0], "user_id": r[1], "value": r[2]} for r in rows],
+        schema=pa.schema(
+            [("ts", pa.timestamp("us", tz="UTC")), ("user_id", pa.int64()), ("value", pa.float64())]
+        ),
+    )
+    pq.write_table(table, src / "e1.parquet")
+    stream = spark.readStream.schema("ts timestamp, user_id long, value double").parquet(str(src))
+    out = session_window_counts(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessagg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["n_events"]): r
+        for r in spark.sql("select * from sessagg").collect()
+    }
+    # closed sessions: user0 burst1 (3 events), user0 burst2 (2), user1 (2)
+    assert (0, 3) in got and (0, 2) in got and (1, 2) in got
+    r = got[(0, 3)]
+    assert (r["session_end"] - r["session_start"]).total_seconds() == 10 * 60 + 30 * 60
