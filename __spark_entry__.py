@@ -120,8 +120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query (approximate ANN ops intentionally
-    omitted → driver records the weaker rows-only check)."""
+    """DuckDB oracle SQL per query — EVERY query has one (round 2: the
+    approximate-but-deterministic ANN ops gained generated oracles that
+    replay the seeded hyperplane/centroid math in SQL)."""
     s = {}
     s.update(ref_oracle_sql())
     s.update(data_oracle_sql())
