@@ -880,19 +880,18 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min_by(F.struct(F.col("doc_id"), F.col("text")), F.col("doc_id")).alias("_c"))
         .select(F.col("_c.doc_id").alias("doc_id"), F.col("_c.text").alias("text"))
     )
-    ql = textops.quality_score(canon).select("doc_id", "quality_score")
-    lang = textops.language_id(canon).select("doc_id", "lang_pred")
-    tok = textops.token_counts(canon).select("doc_id", "ws_tokens", "est_bpe_tokens")
-    out = (
-        canon.select("doc_id")
-        .join(ql, "doc_id")
-        .join(lang, "doc_id")
-        .join(tok, "doc_id")
-        .filter(
-            (F.col("quality_score") >= 0.75)
-            & (F.col("lang_pred") == "en")
-            & (F.col("ws_tokens") >= 10)
-        )
+    # append-mode chaining: the three per-doc operators are projections,
+    # so after the one dedup shuffle the whole pipeline is join-free
+    # (round-2 first cut joined them on doc_id — three needless
+    # shuffles at corpus scale; test_plans asserts no join survives)
+    staged = textops.token_counts(
+        textops.language_id(textops.quality_score(canon, append=True), append=True),
+        append=True,
+    )
+    out = staged.filter(
+        (F.col("quality_score") >= 0.75)
+        & (F.col("lang_pred") == "en")
+        & (F.col("ws_tokens") >= 10)
     )
     return out.select(
         "doc_id",

@@ -339,37 +339,52 @@ def stopword_hits(words: Column, lang: str) -> Column:
     return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", append: bool = False
+) -> DataFrame:
     """Stopword-hit argmax over STOPWORDS' languages; 'und'
     (undetermined) if 0 hits. Ties break by dict order, en first
-    (greatest-struct trick: score desc, then fixed priority)."""
+    (greatest-struct trick: score desc, then fixed priority).
+
+    ``append=True`` keeps every input column and adds only
+    ``lang_pred`` — the shuffle-free composition mode (a per-doc
+    projection never needs a join on the id)."""
     langs = list(STOPWORDS)
-    tokenized = df.select(F.col(id_col), norm_words(F.col(text_col)).alias("_w"))
+    pfx = "_h_" if append else "hits_"
+    lead = ["*"] if append else [F.col(id_col)]
+    tokenized = df.select(*lead, norm_words(F.col(text_col)).alias("_w"))
     words = F.col("_w")
     scored = tokenized.select(
-        F.col(id_col),
-        *[stopword_hits(words, lg).alias(f"hits_{lg}") for lg in langs],
-        F.size(words).alias("n_words"),
+        "*",
+        *[stopword_hits(words, lg).alias(f"{pfx}{lg}") for lg in langs],
     )
     best = F.greatest(
         *[
             F.struct(
-                F.col(f"hits_{lg}").alias("hits"),
+                F.col(f"{pfx}{lg}").alias("hits"),
                 F.lit(len(langs) - i).alias("prio"),
                 F.lit(lg).alias("lang"),
             )
             for i, lg in enumerate(langs)
         ]
     )
+    pred = F.when(best["hits"] == 0, F.lit("und")).otherwise(best["lang"]).alias("lang_pred")
+    if append:
+        return scored.select("*", pred).drop("_w", *[f"{pfx}{lg}" for lg in langs])
     return scored.select(
-        id_col, "n_words", *[f"hits_{lg}" for lg in langs],
-        F.when(best["hits"] == 0, F.lit("und")).otherwise(best["lang"]).alias("lang_pred"),
+        id_col,
+        F.size(words).alias("n_words"),
+        *[f"{pfx}{lg}" for lg in langs],
+        pred,
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", append: bool = False
+) -> DataFrame:
     """Composite quality signals in one pass (all length/replace based
-    so the DuckDB oracle is expression-identical)."""
+    so the DuckDB oracle is expression-identical). ``append=True`` keeps
+    every input column (shuffle-free composition mode)."""
     base = df.select("*", norm_words(F.col(text_col)).alias("_w"))
     t = F.col(text_col)
     n_chars = F.length(t)
@@ -389,8 +404,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + F.when(punct_ratio <= 0.2, 0.25).otherwise(0.0)
         + F.when(stop_ratio >= 0.05, 0.25).otherwise(0.0)
     )
-    return base.select(
-        F.col(id_col),
+    cols = [
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
@@ -398,23 +412,31 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(upper_ratio, 6).alias("upper_ratio"),
         score.alias("quality_score"),
-    )
+    ]
+    if append:
+        return base.select("*", *cols).drop("_w")
+    return base.select(F.col(id_col), *cols)
 
 
-def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", append: bool = False
+) -> DataFrame:
     """Whitespace tokens + a BPE-ish regex token count (words, numbers,
-    punctuation runs counted separately)."""
+    punctuation runs counted separately). ``append=True`` keeps every
+    input column (shuffle-free composition mode)."""
     t = F.col(text_col)
     ws_tokens = F.size(norm_words(t))
     regex_tokens = F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
     # ~chars/4 heuristic used by LLM token estimators
     est_bpe = F.ceil(F.length(t) / 4).cast("long")
-    return df.select(
-        F.col(id_col),
+    cols = [
         ws_tokens.alias("ws_tokens"),
         regex_tokens.alias("regex_tokens"),
         est_bpe.alias("est_bpe_tokens"),
-    )
+    ]
+    if append:
+        return df.select("*", *cols)
+    return df.select(F.col(id_col), *cols)
 
 
 def fingerprint(

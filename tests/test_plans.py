@@ -100,3 +100,13 @@ def test_ivf_assign_no_global_window(spark):
         if line.startswith("Arguments: [") and line.rstrip().endswith(", 0"):
             assert "], false, 0" in line, f"global sort in ivf_assign plan: {line}"
     assert "partial_min_by" in p  # map-side combine before the shuffle
+
+
+def test_corpus_select_join_free(spark):
+    """The corpus-selection pipeline is ONE dedup shuffle + projections:
+    append-mode operator chaining must leave no join in the plan."""
+    import pdf_parser_spark.queries_data as qd2
+
+    p = plan_of(qd2.q_corpus_select(spark, SF))
+    assert "Join" not in p
+    assert "partial_min_by" in p  # the dedup agg map-side combine
