@@ -221,6 +221,7 @@ def size_routed_extract(
     jumbo_bytes: int = 1_000_000,
     jumbo_factor: int = 8,
     mode: str = "first_valid",
+    output: str = "full",
 ) -> DataFrame:
     """Skew mitigation for oversized documents (SURVEY §4 'Spill/memory').
 
@@ -237,11 +238,14 @@ def size_routed_extract(
     repartitions, which replace the single salting exchange).
     """
     is_jumbo = F.length("html") >= jumbo_bytes
-    normal = extract_documents(salted(pages.filter(~is_jumbo), parallelism), mode=mode)
+    normal = extract_documents(
+        salted(pages.filter(~is_jumbo), parallelism), mode=mode, output=output
+    )
     jumbo = extract_documents(
         pages.filter(is_jumbo).repartition(
             max(1, parallelism * jumbo_factor), F.xxhash64("url")
         ),
         mode=mode,
+        output=output,
     )
     return normal.unionByName(jumbo)

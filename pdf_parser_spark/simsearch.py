@@ -2,8 +2,10 @@
 
 The reference has no vector search; a 100 TB training-data pipeline
 needs near-dup detection and retrieval over ``array<float>`` embedding
-columns. Three strategies, all native Catalyst (``zip_with`` /
-``aggregate`` array algebra — no UDFs, no BLAS dependency):
+columns. Three strategies, native Catalyst (``zip_with``/``aggregate``
+array algebra) except the ONE documented Arrow/numpy kernel for LSH
+signatures (:func:`with_rp_buckets` — bits×tables interpreted HOF dot
+products per row don't codegen; one einsum per batch does):
 
 - :func:`cosine_topk`      — exact brute force: broadcast the (small)
   query set against the corpus, per-query ``row_number`` top-k. The
@@ -223,6 +225,27 @@ def ivf_bucket(cid: Column, n_centroids: int) -> Column:
     return F.pmod(h, F.lit(n_centroids))
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, cvec): the deterministic centroid set — min-id member per
+    :func:`ivf_bucket` hash bucket (map-side-combined, one tiny
+    shuffle)."""
+    return (
+        corpus.select(
+            ivf_bucket(F.col(id_col), n_centroids).alias("_b"),
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+        )
+        .groupBy("_b")
+        .agg(F.min_by(F.struct(F.col("cid"), F.col("cvec")), F.col("cid")).alias("_c"))
+        .select(F.col("_c.cid").alias("cid"), F.col("_c.cvec").alias("cvec"))
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -246,16 +269,7 @@ def ivf_assign(
     corpus is never shuffled; write the result bucketed by list_id for
     probe locality.
     """
-    cents = (
-        corpus.select(
-            ivf_bucket(F.col(id_col), n_centroids).alias("_b"),
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("cvec"),
-        )
-        .groupBy("_b")
-        .agg(F.min_by(F.struct(F.col("cid"), F.col("cvec")), F.col("cid")).alias("_c"))
-        .select(F.col("_c.cid").alias("cid"), F.col("_c.cvec").alias("cvec"))
-    )
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     cent_arr = F.broadcast(
         cents.groupBy().agg(
             F.sort_array(F.collect_list(F.struct(F.col("cid"), F.col("cvec")))).alias("cents")
@@ -288,10 +302,14 @@ def ivf_topk(
     """IVF search: probe the nprobe nearest inverted lists, exact rerank.
 
     Search cost ≈ brute force × (nprobe / n_centroids); recall < 1 by
-    design (benchmarked, not asserted exact)."""
+    design (oracle-checked exactly — the seeded centroid hash makes the
+    approximate answer deterministic)."""
     assigned = ivf_assign(corpus, n_centroids, id_col, vec_col)
-    cent_vecs = assigned.filter(F.col(id_col) == F.col("list_id")).select(
-        F.col("list_id"), F.col(vec_col).alias("cvec")
+    # the centroid set comes from the shared agg — NOT from filtering
+    # the assigned corpus, which would re-run the full argmax assignment
+    # a second time just to recover ≤ n_centroids rows
+    cent_vecs = ivf_centroids(corpus, n_centroids, id_col, vec_col).select(
+        F.col("cid").alias("list_id"), F.col("cvec")
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("query_vec")
