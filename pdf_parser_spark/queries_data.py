@@ -331,8 +331,11 @@ FROM corpus GROUP BY md5(text) HAVING count(*) > 1
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_bucket_size=50 keeps the mega-bucket guard live in the parity
+    # check (planted dup groups are pairs, so the answer is unchanged —
+    # the oracle applies the identical HAVING cap)
     corpus = _dup_corpus(spark, sf_dir, exact=False)
-    return textops.lsh_band_pairs(corpus).select("id_a", "id_b")
+    return textops.lsh_band_pairs(corpus, max_bucket_size=50).select("id_a", "id_b")
 
 
 def _sql_dedup_minhash_lsh() -> str:
@@ -358,11 +361,15 @@ sigs AS (
 {arms}
 ),
 sigs2 AS (SELECT * FROM sigs WHERE min_hash IS NOT NULL),
-banded AS (
+banded0 AS (
   SELECT doc_id, band_idx, md5(array_to_string(list_sort(list(min_hash)), '|')) AS band_key
   FROM (SELECT doc_id, CAST(floor(hash_idx / 3) AS INT) AS band_idx, min_hash FROM sigs2) t
   GROUP BY doc_id, band_idx
-)
+),
+keepb AS (
+  SELECT band_idx, band_key FROM banded0 GROUP BY band_idx, band_key HAVING count(*) <= 50
+),
+banded AS (SELECT banded0.* FROM banded0 JOIN keepb USING (band_idx, band_key))
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
   ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id

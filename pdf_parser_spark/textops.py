@@ -60,21 +60,32 @@ def word_shingles(words: Column, k: int) -> Column:
 # ----------------------------------------------------------------------
 # exact dedup
 # ----------------------------------------------------------------------
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    with_ids: bool = True,
+) -> DataFrame:
     """Groups of byte-identical documents: (digest, canonical_id, dup_ids).
 
     One shuffle on the digest; at 10^12 rows the digest groupBy is the
     canonical map-side-combinable aggregation.
-    """
+
+    ``with_ids=False`` drops the ``doc_ids`` roster: ``collect_list`` on
+    a pathological digest (boilerplate/empty documents duplicated 10^9
+    times) materializes the whole group in one aggregation buffer. The
+    min/count-only form stays bounded per key at ANY skew — use it at
+    corpus scale and recover rosters per-digest on demand (a pushed-down
+    ``WHERE digest = X`` scan)."""
     digest = F.md5(F.col(text_col))
+    aggs = [
+        F.min(id_col).alias("canonical_id"),
+        F.count("*").alias("n_docs"),
+    ]
+    if with_ids:
+        aggs.append(F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
     return (
         df.select(F.col(id_col), digest.alias("digest"))
         .groupBy("digest")
-        .agg(
-            F.min(id_col).alias("canonical_id"),
-            F.count("*").alias("n_docs"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
-        )
+        .agg(*aggs)
         .filter(F.col("n_docs") > 1)
     )
 
@@ -151,12 +162,21 @@ def minhash_signatures(
 def lsh_band_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n_hashes: int = 12, bands: int = 4, shingle_k: int = 3,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
     Band key = md5 of the band's concatenated minhashes. The self-join
     shuffles on (band_idx, band_key) — bucket-local, never all-pairs.
-    """
+
+    ``max_bucket_size`` drops buckets with more members before the
+    self-join: one mega-cluster (10^6 boilerplate copies) makes its
+    bucket quadratic (10^12 pairs). Members of dropped buckets are
+    byte-near-identical en masse — exact dedup (:func:`exact_duplicates`)
+    is the right operator for them, not pairwise LSH; the cap bounds
+    every bucket's pair count to max_bucket_size² by construction. The
+    frequency agg is map-side combinable on the same (band_idx,
+    band_key) key the join shuffles on."""
     rows = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     banded = (
@@ -173,6 +193,14 @@ def lsh_band_pairs(
             ).alias("band_key")
         )
     )
+    if max_bucket_size is not None:
+        keep = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band_idx", "band_key")
+        )
+        banded = banded.join(keep, ["band_idx", "band_key"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -186,3 +186,25 @@ def test_repetition_signals(spark):
     assert out[1]["top_bigram_frac"] == round(4 / 7, 6)
     assert out[2]["dup_line_frac"] == 0.0
     assert out[2]["top_bigram_frac"] < 0.5
+
+
+def test_lsh_mega_bucket_cap(spark):
+    """A cluster of identical docs (one mega-bucket per band) must be
+    excluded by max_bucket_size — pairwise LSH is the wrong tool for
+    exact-dup clusters (exact_duplicates covers them); a distinct dup
+    pair in its own small bucket survives the cap."""
+    rows = [(i, "identical boilerplate text repeated across the whole cluster") for i in range(30)]
+    rows += [(100, "a genuinely unique document about spark physical planning"),
+             (101, "a genuinely unique document about spark physical planning")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r["id_a"], r["id_b"]) for r in textops.lsh_band_pairs(df, max_bucket_size=10).collect()}
+    assert capped == {(100, 101)}  # mega-cluster suppressed, real pair kept
+    uncapped = textops.lsh_band_pairs(df).collect()
+    assert len(uncapped) == 30 * 29 // 2 + 1  # quadratic without the cap
+
+
+def test_exact_duplicates_without_ids(spark, docs):
+    groups = textops.exact_duplicates(docs, with_ids=False).collect()
+    assert len(groups) == 1
+    assert groups[0]["canonical_id"] == 0 and groups[0]["n_docs"] == 2
+    assert "doc_ids" not in groups[0].asDict()
