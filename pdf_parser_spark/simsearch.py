@@ -379,11 +379,16 @@ def lsh_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Scale path: candidates = random-hyperplane bucket collisions in
     any of ``tables`` tables, exact cosine verification on candidates.
     Recall < 1 by design (collision prob per table = (1−θ/π)^bits for
     angle θ); at 10^12 rows the corpus shuffles once on (table, bucket).
+
+    ``max_bucket_size`` drops over-full buckets before the self-join —
+    a mega-cluster of identical embeddings otherwise makes its bucket
+    quadratic; route such clusters through exact (digest) dedup first.
     """
     keyed = with_rp_buckets(
         corpus.select(
@@ -393,6 +398,14 @@ def lsh_near_dup_pairs(
         ),
         dim, bits, tables, seed, vec_col="vec",
     )
+    if max_bucket_size is not None:
+        keep = (
+            keyed.groupBy("table", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("table", "bucket")
+        )
+        keyed = keyed.join(keep, ["table", "bucket"], "left_semi")
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(

@@ -311,11 +311,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return hashed.select(F.col(id_col), sim.alias("simhash"), F.col("n_words"))
 
 
-def simhash_pairs(df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 32) -> DataFrame:
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 32,
+    max_block_size: Optional[int] = None,
+) -> DataFrame:
     """Near-dup candidates: simhash hamming distance ≤ max_hamming.
 
     Scale path: block on 4 simhash quarters (pigeonhole — any pair
     within hamming 3 agrees on ≥1 quarter), join per block.
+    ``max_block_size`` drops over-full blocks before the self-join (the
+    mega-cluster guard, same rationale as
+    :func:`lsh_band_pairs.max_bucket_size`).
     """
     sims = df
     quarter = bits // 4
@@ -326,6 +332,14 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, b
     blocked = blocks[0]
     for b in blocks[1:]:
         blocked = blocked.unionByName(b)
+    if max_block_size is not None:
+        keep = (
+            blocked.groupBy("block_q", "block_key")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_block_size)
+            .select("block_q", "block_key")
+        )
+        blocked = blocked.join(keep, ["block_q", "block_key"], "left_semi")
     a, b = blocked.alias("a"), blocked.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     return (

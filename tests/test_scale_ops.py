@@ -69,3 +69,38 @@ def test_sessionize_gap_semantics(spark):
     assert got[3]["session_idx"] == 2 and got[4]["session_idx"] == 2
     assert got[3]["session_id"] == "1-2"
     assert got[5]["session_idx"] == 1 and got[6]["session_idx"] == 1
+
+
+def test_simhash_mega_block_cap(spark):
+    from pdf_parser_spark import textops
+
+    rows = [(i, "same boilerplate everywhere in this whole cluster of docs") for i in range(25)]
+    rows += [(100, "unique doc about catalyst optimizer rules and codegen"),
+             (101, "unique doc about catalyst optimizer rules and codegen")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sims = textops.simhash(df)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in textops.simhash_pairs(sims, max_block_size=10).collect()
+    }
+    assert capped == {(100, 101)}
+    assert len(textops.simhash_pairs(sims).collect()) == 25 * 24 // 2 + 1
+
+
+def test_embedding_lsh_mega_bucket_cap(spark):
+    from pdf_parser_spark import simsearch
+
+    base = [float(x) for x in range(1, 9)]
+    rows = [(i, base) for i in range(20)]  # identical-embedding cluster
+    rows += [(100, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+             (101, [1.0, 0.01, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in simsearch.lsh_near_dup_pairs(
+            df, dim=8, threshold=0.9, bits=4, tables=4, max_bucket_size=5
+        ).collect()
+    }
+    assert capped == {(100, 101)}
+    uncapped = simsearch.lsh_near_dup_pairs(df, dim=8, threshold=0.9, bits=4, tables=4).collect()
+    assert len(uncapped) == 20 * 19 // 2 + 1
