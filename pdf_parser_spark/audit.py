@@ -29,9 +29,36 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
 from .extract import extract_documents
 
 BUCKET_COL = "_bucket"
+
+# explicit schema for the audit table: reads never depend on parquet
+# schema inference, so an all-empty (or not-yet-written) table behaves
+# like zero rows instead of throwing
+AUDIT_SCHEMA = StructType(
+    [
+        StructField("run_id", StringType()),
+        StructField("partition_id", IntegerType()),
+        StructField("docs", LongType()),
+        StructField("bytes", LongType()),
+        StructField("failures", LongType()),
+        StructField("decode_fallbacks", LongType()),
+        StructField("pdf_docs", LongType()),
+        StructField("html_docs", LongType()),
+        StructField("committed_at", TimestampType()),
+        StructField("bucket", IntegerType()),
+    ]
+)
 
 
 def with_bucket(pages: DataFrame, n_buckets: int) -> DataFrame:
@@ -72,7 +99,7 @@ def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
 def committed_buckets(spark: SparkSession, audit_path: str) -> List[int]:
     if not os.path.exists(audit_path):
         return []
-    audit = spark.read.parquet(audit_path)
+    audit = spark.read.schema(AUDIT_SCHEMA).parquet(audit_path)
     return [r["bucket"] for r in audit.select("bucket").distinct().collect()]
 
 
@@ -170,9 +197,12 @@ def run_extraction_with_audit(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     # 2) audit commit for ALL newly-written buckets in one append —
-    # partition pruning on the re-read keeps this to the new output
+    # partition pruning on the re-read keeps this to the new output.
+    # Explicit schema: an all-empty batch writes zero data files, and
+    # schema inference over a _SUCCESS-only directory would throw
+    reread_schema = ext.drop("bucket").schema.add("bucket", IntegerType())
     reread = (
-        spark.read.parquet(data_path)
+        spark.read.schema(reread_schema).parquet(data_path)
         .filter(F.col("bucket").isin([int(b) for b in todo]))
         .withColumnRenamed("bucket", BUCKET_COL)
     )

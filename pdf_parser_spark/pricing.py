@@ -302,14 +302,17 @@ def with_payment_block(
     rounding: str = "python",
 ) -> DataFrame:
     """The engine's quote-doc payment block (engine/quote_calc.py:259-270):
-    originally_quoted / pay_upfront (×0.909 — the F10 fork) / pay_50_50 /
-    pay_over_time_amount + the fixed note. Input must not already carry
-    these names (case-insensitive resolver)."""
+    originally_quoted / rounded rush fee / pay_upfront (×0.909 — the F10
+    fork) / pay_50_50 / pay_over_time_amount + the fixed note. Input
+    must not already carry these names (case-insensitive resolver)."""
     rnd = py_round if rounding == "python" else F.round
     q = F.col(quote).cast("double")
+    has_rush = bool(rush_fee) and rush_fee in df.columns
+    rf = F.coalesce(F.col(rush_fee).cast("double"), F.lit(0.0)) if has_rush else F.lit(0.0)
     return df.select(
         "*",
         rnd(q, 2).alias("originally_quoted"),
+        rnd(rf, 2).alias("rush_fee_quoted"),
         rnd(q * F.lit(float(upfront_ratio)), 2).alias("pay_upfront_engine"),
         rnd(q / 2, 2).alias("pay_50_50_engine"),
         rnd(q / 4, 2).alias("pay_over_time_amount"),

@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .functions.hashing import splitmix64 as _splitmix
+
 
 # ----------------------------------------------------------------------
 # array algebra primitives
@@ -64,12 +66,6 @@ def cosine(a: Column, b: Column) -> Column:
 # ----------------------------------------------------------------------
 # deterministic pseudo-random hyperplanes / centroids
 # ----------------------------------------------------------------------
-def _splitmix(x: int) -> int:
-    """splitmix64 finalizer — deterministic, dependency-free."""
-    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-    return x ^ (x >> 31)
 
 
 def hyperplane(seed: int, dim: int) -> List[float]:
@@ -251,6 +247,7 @@ def ivf_assign(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Assign each vector to its nearest deterministic centroid.
 
@@ -269,7 +266,8 @@ def ivf_assign(
     corpus is never shuffled; write the result bucketed by list_id for
     probe locality.
     """
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    if cents is None:
+        cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
     cent_arr = F.broadcast(
         cents.groupBy().agg(
             F.sort_array(F.collect_list(F.struct(F.col("cid"), F.col("cvec")))).alias("cents")
@@ -304,13 +302,13 @@ def ivf_topk(
     Search cost ≈ brute force × (nprobe / n_centroids); recall < 1 by
     design (oracle-checked exactly — the seeded centroid hash makes the
     approximate answer deterministic)."""
-    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col)
-    # the centroid set comes from the shared agg — NOT from filtering
-    # the assigned corpus, which would re-run the full argmax assignment
-    # a second time just to recover ≤ n_centroids rows
-    cent_vecs = ivf_centroids(corpus, n_centroids, id_col, vec_col).select(
-        F.col("cid").alias("list_id"), F.col("cvec")
-    )
+    # compute the centroid agg ONCE and share it between assignment
+    # and probing — round-2 first cut ran the corpus-wide centroid agg
+    # twice (once inside ivf_assign, once here); at 10^12 rows that is
+    # a second full corpus pass for ≤ n_centroids rows
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, cents=cents)
+    cent_vecs = cents.select(F.col("cid").alias("list_id"), F.col("cvec"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("query_vec")
     )

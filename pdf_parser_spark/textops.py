@@ -28,10 +28,13 @@ DuckDB twin — at production scale swap ``_hash64``'s body for
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .functions.hashing import splitmix64 as _splitmix
 
 # ----------------------------------------------------------------------
 # shared primitives
@@ -94,13 +97,6 @@ def exact_duplicates(
 # MinHash + LSH
 # ----------------------------------------------------------------------
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime): products stay < 2^62
-
-
-def _splitmix(x: int) -> int:
-    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-    return x ^ (x >> 31)
 
 
 def minhash_coeffs(n_hashes: int) -> List[tuple]:
@@ -222,7 +218,7 @@ def ngram_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_k: int = 3, threshold: float = 0.8,
     candidates: Optional[DataFrame] = None,
-    max_doc_freq: Optional[int] = 10_000,
+    max_doc_freq: Optional[int] = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for pairs ≥ threshold.
 
@@ -376,8 +372,16 @@ STOPWORDS = {
 }
 
 
+@lru_cache(maxsize=64)
+def _lit_str_array(vals: tuple) -> Column:
+    # one SQL-parsed py4j call per list instead of len(vals) F.lit
+    # round trips (CLAUDE.md literal-array rule); stopwords are plain
+    # ascii words, no quoting hazards
+    return F.expr("array(" + ",".join("'" + v + "'" for v in vals) + ")")
+
+
 def stopword_hits(words: Column, lang: str) -> Column:
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    sw = _lit_str_array(tuple(STOPWORDS[lang]))
     return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
 
 

@@ -21,7 +21,6 @@ None.
 
 from __future__ import annotations
 
-import re
 import zipfile
 from typing import List, Optional
 from xml.etree import ElementTree as ET
@@ -68,14 +67,23 @@ def read_sheet(path: str, sheet_name: str) -> List[List[Optional[object]]]:
     """The named worksheet as a dense row-major grid (list of equal-
     length rows), values typed as float/str/bool/None."""
     with zipfile.ZipFile(path) as z:
-        wb = z.read("xl/workbook.xml").decode("utf-8")
-        sheets = dict(
-            re.findall(r'<sheet[^>]* name="([^"]+)"[^>]*r:id="(rId\d+)"', wb)
-        )
+        # real XML parsing (not regex): attribute ORDER is unconstrained
+        # in XML and varies by producer, and sheet names may carry
+        # entities ('P&amp;L') that need unescaping
+        r_id = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        sheets = {
+            el.get("name"): el.get(r_id)
+            for el in wb.iter(f"{_NS}sheet")
+        }
         if sheet_name not in sheets:
             raise KeyError(f"sheet {sheet_name!r} not in workbook: {sorted(sheets)}")
-        rels = z.read("xl/_rels/workbook.xml.rels").decode("utf-8")
-        targets = dict(re.findall(r'Id="(rId\d+)"[^>]* Target="([^"]+)"', rels))
+        rels_ns = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        targets = {
+            el.get("Id"): el.get("Target")
+            for el in rels.iter(f"{rels_ns}Relationship")
+        }
         part = targets[sheets[sheet_name]].lstrip("/")
         if not part.startswith("xl/"):
             part = "xl/" + part

@@ -90,6 +90,23 @@ def test_audit_mixed_mode_resume(spark, pages_df, tmp_path):
     assert extracted.select("url").distinct().count() == pages_df.count()
 
 
+def test_audit_empty_pending_input(spark, tmp_path):
+    """Zero pending rows must commit cleanly (zero metrics), not throw
+    on schema inference over a data-less output directory."""
+    empty = spark.createDataFrame(
+        [],
+        "url string, warc_ts timestamp_ntz, html binary, text string, lang string",
+    )
+    out = str(tmp_path / "out")
+    r = audit.run_extraction_with_audit(spark, empty, out, run_id="r0", n_buckets=4)
+    assert r["processed"] == [0, 1, 2, 3]
+    assert r["metrics"] == {"docs": 0, "failures": 0, "decode_fallbacks": 0, "bytes": 0}
+    # a second run over the same (still audit-less) dir is equally clean
+    r2 = audit.run_extraction_with_audit(spark, empty, out, run_id="r1", n_buckets=4)
+    assert r2["metrics"]["docs"] == 0
+
+
+
 def test_audit_row_grain_resume(spark, pages_df):
     done = pages_df.select("url").limit(50)
     pending = audit.resume_pending(pages_df, done)

@@ -250,6 +250,7 @@ def test_payment_block_parity_vs_engine(spark):
         exp = calc._payment_block(q, rush_fee=float(i % 3) * 500.0)
         r = got[i]
         assert r["originally_quoted"] == exp["originally_quoted"]
+        assert r["rush_fee_quoted"] == exp["rush_fee"]
         assert r["pay_upfront_engine"] == exp["pay_upfront"], f"0.909 fork, case {i}"
         assert r["pay_50_50_engine"] == exp["pay_50_50"]
         assert r["pay_over_time_amount"] == exp["pay_over_time_amount"]
