@@ -122,12 +122,18 @@ GROUP BY o_orderstatus
 
 
 def q_window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2: running total, decimal-exact."""
+    """W2: running total, decimal-exact.
+
+    RANGE frame, not ROWS: the sort key (l_linenumber) is NOT unique in
+    the driver tables, and a ROWS frame gives tied rows an engine-
+    dependent prefix (passed at small SFs by luck, diverged at sf0.1).
+    RANGE sums all peers of the current key together — deterministic
+    under ties by construction."""
     li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
     w = (
         Window.partitionBy("l_orderkey")
         .orderBy("l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return li.select(
         "l_orderkey",
@@ -140,7 +146,7 @@ SQL_WINDOW_CUMSUM = """
 SELECT l_orderkey, l_linenumber,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
          PARTITION BY l_orderkey ORDER BY l_linenumber
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_qty
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_qty
 FROM lineitem WHERE l_orderkey % 10 = 0
 """
 

@@ -212,8 +212,15 @@ def sql_round2(x: str) -> str:
     decimal-ish doubles (e.g. odd-cent / 2). Route through VARCHAR
     (shortest repr, same digits as Java) → DECIMAL → decimal round
     (half-away == HALF_UP for positives).
+
+    Scale 18, not 12: a repr like ``1366.3149999999998`` carries 13
+    fractional digits — a DECIMAL(…,12) cast re-rounds digit 13 UP into
+    an exact ``…315`` tie that Java's full-repr HALF_UP never sees
+    (found live at sf0.1: 1366.32 vs Spark's 1366.31). 18 fractional
+    digits hold the full 17-significant-digit repr for every magnitude
+    ≥ 0.01, and sub-cent values cannot manufacture a 2-decimal tie.
     """
-    return f"CAST(round(CAST(CAST({x} AS VARCHAR) AS DECIMAL(28,12)), 2) AS DOUBLE)"
+    return f"CAST(round(CAST(CAST({x} AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE)"
 
 
 def repr_rounds(sql: str) -> str:
