@@ -266,3 +266,18 @@ def test_encrypted_pdf_becomes_error_row(spark):
         audit.with_bucket(extract_documents(pages), 4), "r-enc"
     ).collect()
     assert sum(r["failures"] for r in m) == 1
+
+
+def test_encrypted_pdf_xref_stream_layout():
+    """/Encrypt detection must also fire when the trailer keys live in
+    an xref STREAM dict (PDF 1.5 layout), not a classic trailer."""
+    b = PdfBuilder(xref_stream=True)
+    pg = b.new_page()
+    pg.text(72, 720, "secret in stream layout")
+    pdf = b.build()
+    enc = pdf.replace(b"<< /Type /XRef ", b"<< /Encrypt 99 0 R /Type /XRef ", 1)
+    assert enc != pdf
+    with pytest.raises(PdfError) as ei:
+        parse_pdf(enc)
+    assert ei.value.code == "encrypted"
+    assert parse_pdf(pdf).pages[0].text() == "secret in stream layout"
