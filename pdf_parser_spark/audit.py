@@ -109,6 +109,23 @@ def resume_pending(pages: DataFrame, done_urls: DataFrame) -> DataFrame:
     return pages.join(done_urls.select("url"), "url", "left_anti")
 
 
+def _bucket_markers(spark: SparkSession, run_id: str, buckets: List[int]) -> DataFrame:
+    """Zero-row commit markers (partition_id = -1, all counters 0): a
+    bucket with NO input rows still has to land in the audit table, or
+    every later run would put it back in ``todo`` and re-scan the input
+    for it forever. One marker per processed bucket also makes the
+    committed set independent of whether data rows existed."""
+    rows = spark.createDataFrame([(int(b),) for b in buckets], "bucket int")
+    return rows.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(-1).alias("partition_id"),
+        *[F.lit(0).cast("long").alias(c) for c in
+          ("docs", "bytes", "failures", "decode_fallbacks", "pdf_docs", "html_docs")],
+        F.current_timestamp().alias("committed_at"),
+        F.col("bucket"),
+    )
+
+
 def _totals_of(reread: DataFrame) -> dict:
     agg = reread.agg(
         F.count("*").alias("docs"),
@@ -177,7 +194,9 @@ def run_extraction_with_audit(
             reread = spark.read.parquet(os.path.join(data_path, f"bucket={b}")).withColumn(
                 BUCKET_COL, F.lit(b)
             )
-            partition_metrics(reread, run_id).write.mode("append").parquet(audit_path)
+            partition_metrics(reread, run_id).unionByName(
+                _bucket_markers(spark, run_id, [b])
+            ).write.mode("append").parquet(audit_path)
             for k, v in _totals_of(reread).items():
                 totals[k] += v
         return {"processed": todo, "skipped": sorted(done), "metrics": totals}
@@ -206,5 +225,10 @@ def run_extraction_with_audit(
         .filter(F.col("bucket").isin([int(b) for b in todo]))
         .withColumnRenamed("bucket", BUCKET_COL)
     )
-    partition_metrics(reread, run_id).write.mode("append").parquet(audit_path)
+    # real per-partition lineage UNION one zero-row marker per bucket —
+    # empty buckets must commit too (else they re-run forever); both
+    # land in ONE append so the commit stays atomic per batch
+    partition_metrics(reread, run_id).unionByName(
+        _bucket_markers(spark, run_id, todo)
+    ).write.mode("append").parquet(audit_path)
     return {"processed": todo, "skipped": sorted(done), "metrics": _totals_of(reread)}

@@ -307,7 +307,10 @@ def with_payment_block(
     must not already carry these names (case-insensitive resolver)."""
     rnd = py_round if rounding == "python" else F.round
     q = F.col(quote).cast("double")
-    has_rush = bool(rush_fee) and rush_fee in df.columns
+    # CASE-INSENSITIVE presence test, matching how every other column
+    # here resolves (a case-mismatched fee column must not silently
+    # become 0.00 in a block whose point is byte-exact engine parity)
+    has_rush = bool(rush_fee) and rush_fee.lower() in {c.lower() for c in df.columns}
     rf = F.coalesce(F.col(rush_fee).cast("double"), F.lit(0.0)) if has_rush else F.lit(0.0)
     return df.select(
         "*",

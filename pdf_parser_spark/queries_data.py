@@ -885,8 +885,8 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     MUST disappear, so the dedup stage is observable in the output),
     then language gate (en), quality gate (≥ 0.75), minimum length
     (≥ 10 ws tokens), emitting the kept docs with their token budget.
-    One digest shuffle + three doc_id joins (AQE-coalesced); every
-    stage native Catalyst."""
+    ONE digest shuffle, then pure join-free projections (append-mode
+    operator chaining); every stage native Catalyst."""
     corpus = _dup_corpus(spark, sf_dir, exact=True)
     canon = (
         corpus.groupBy(F.md5("text").alias("_digest"))

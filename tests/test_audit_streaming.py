@@ -101,9 +101,10 @@ def test_audit_empty_pending_input(spark, tmp_path):
     r = audit.run_extraction_with_audit(spark, empty, out, run_id="r0", n_buckets=4)
     assert r["processed"] == [0, 1, 2, 3]
     assert r["metrics"] == {"docs": 0, "failures": 0, "decode_fallbacks": 0, "bytes": 0}
-    # a second run over the same (still audit-less) dir is equally clean
+    # empty buckets COMMIT (zero-row markers): a second run skips them
+    # instead of re-scanning the input forever
     r2 = audit.run_extraction_with_audit(spark, empty, out, run_id="r1", n_buckets=4)
-    assert r2["metrics"]["docs"] == 0
+    assert r2["processed"] == [] and r2["skipped"] == [0, 1, 2, 3]
 
 
 
