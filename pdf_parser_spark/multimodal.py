@@ -2,16 +2,18 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; the decode / feature-extract / resize / frame-sample kernels
-run as Arrow-batched functions over ``mapInPandas``. The actual codec
-libraries (PIL/ffmpeg/soundfile) are NOT in this container, so the
-byte-level decoders are STUBBED exactly as the build contract asks:
+run as Arrow-batched functions over ``mapInPandas``.
 
-- real formats (PNG/JPEG/WAV magic bytes) raise ``NotImplementedError``
-  with the library that a deployment would install;
+- **PNG decodes FOR REAL** (round 2): pure-stdlib codec in
+  :mod:`.pngcore` — zlib + the repo's own PNG row filters; metadata,
+  nearest-neighbor resize, and re-encode all operate on actual pixels.
+- JPEG/WAV/MP4 stay STUBBED (``NotImplementedError`` naming the
+  library a deployment would install — PIL/ffmpeg/soundfile are
+  genuinely absent in this container).
 - the deterministic ``FAKE`` container (our synthetic corpus format)
-  decodes for real, so every downstream stage — schema, partitioning,
-  Arrow batch shape, resize math, frame sampling — is genuinely
-  exercised and oracle-checkable.
+  also decodes for real, so every downstream stage — schema,
+  partitioning, Arrow batch shape, resize math, frame sampling — is
+  exercised and oracle-checkable at driver scale.
 
 FAKE container layout (little-endian):
     b"FAKE" | u8 kind (0=image,1=audio,2=video) | u16 w|sr|w
@@ -37,11 +39,11 @@ MEDIA_SCHEMA = (
 
 _KINDS = {0: "image", 1: "audio", 2: "video"}
 _MAGICS = {
-    b"\x89PNG": "PNG (install pillow)",
     b"\xff\xd8\xff": "JPEG (install pillow)",
     b"RIFF": "WAV/AVI (install soundfile/ffmpeg)",
     b"\x00\x00\x00\x18": "MP4 (install ffmpeg)",
 }
+_PNG_SIG = b"\x89PNG"
 
 
 def encode_fake(kind: int, a: int, b: int, c: int, payload: bytes) -> bytes:
@@ -49,7 +51,17 @@ def encode_fake(kind: int, a: int, b: int, c: int, payload: bytes) -> bytes:
 
 
 def decode_media(blob: bytes) -> dict:
-    """Header decode. Real formats → NotImplementedError (stub gate)."""
+    """Header decode: PNG and FAKE for real; other real formats →
+    NotImplementedError (stub gate)."""
+    if blob[: len(_PNG_SIG)] == _PNG_SIG:
+        from . import pngcore
+
+        img = pngcore.decode_png(blob)
+        return {
+            "kind": "image", "width": img["width"], "height": img["height"],
+            "sample_rate": 0, "channels": img["channels"], "n_frames": 1,
+            "n_bytes": len(img["pixels"]),
+        }
     for magic, what in _MAGICS.items():
         if blob[: len(magic)] == magic:
             raise NotImplementedError(f"real codec not available in sandbox: {what}")
@@ -76,8 +88,16 @@ def _px(payload: bytes, i: int) -> int:
 
 
 def resize_image(blob: bytes, out_w: int, out_h: int) -> bytes:
-    """Nearest-neighbor resize of a FAKE image — the real math over the
-    fake pixels (a deployment swaps the pixel source for PIL)."""
+    """Nearest-neighbor resize: REAL pixels for PNG (pngcore), fake
+    pixels for the FAKE container (same math either way)."""
+    if blob[: len(_PNG_SIG)] == _PNG_SIG:
+        from . import pngcore
+
+        img = pngcore.decode_png(blob)
+        small = pngcore.resize_nearest(img, out_w, out_h)
+        return pngcore.encode_png(
+            out_w, out_h, small["pixels"], color_type=small["color_type"]
+        )
     meta = decode_media(blob)
     if meta["kind"] != "image":
         raise ValueError("not an image")
@@ -90,6 +110,15 @@ def resize_image(blob: bytes, out_w: int, out_h: int) -> bytes:
             sx = min(w - 1, (x * w) // out_w) if w else 0
             out.append(_px(payload, sy * w + sx))
     return encode_fake(0, out_w, out_h, 1, bytes(out))
+
+
+def thumb_pixel_sum(thumb: bytes) -> int:
+    """Sum of the thumbnail's raw pixel bytes (PNG or FAKE container)."""
+    if thumb[: len(_PNG_SIG)] == _PNG_SIG:
+        from . import pngcore
+
+        return int(sum(pngcore.decode_png(thumb)["pixels"]))
+    return int(sum(thumb[11:]))
 
 
 def sample_frames(blob: bytes, every: int) -> List[Tuple[int, int]]:
@@ -144,7 +173,7 @@ def resized_thumbnails(df: DataFrame, out_w: int, out_h: int, media_col: str = "
                     continue
                 ids.append(int(doc_id))
                 blobs.append(t)
-                sums.append(int(sum(t[11:])))
+                sums.append(thumb_pixel_sum(t))
             yield pd.DataFrame({"doc_id": ids, "thumb": blobs, "pixel_sum": sums})
 
     return df.select("doc_id", F.col(media_col).alias("media")).mapInPandas(

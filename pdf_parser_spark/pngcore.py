@@ -1,0 +1,174 @@
+"""Minimal pure-stdlib PNG codec (real decode for the multimodal path).
+
+PNG (ISO/IEC 15948) is a chunked container around a zlib stream whose
+rows carry the same five filters (None/Sub/Up/Average/Paeth) this repo
+already implements for PDF stream predictors — so a real decoder is
+``zlib.decompress`` + :func:`pdfcore.filters.apply_predictor` plus
+chunk walking. No PIL needed.
+
+Scope (typed ``PngError`` outside it):
+
+- bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette → RGB),
+  4 (gray+alpha), 6 (RGBA); interlace 0 only (Adam7 → typed error).
+- the encoder emits valid files with a selectable per-row filter
+  (0/1/2/3/4) — used by the round-trip tests to drive every filter
+  branch of the shared de-filter kernel.
+
+Cited parity target: the reference consumes images only through
+browser/PIL codecs; this decoder exists so the 100 TB multimodal
+pipeline has at least one REAL format end to end in-sandbox.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Dict, List
+
+from .pdfcore.filters import apply_predictor
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PngError(ValueError):
+    def __init__(self, code: str, msg: str):
+        super().__init__(msg)
+        self.code = code
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, color_type: int = 2, filter_type: int = 0
+) -> bytes:
+    """8-bit PNG from raw interleaved ``pixels`` (len == w*h*channels).
+
+    ``filter_type`` applies the SAME filter to every row (enough to
+    exercise each decoder branch; a real optimizer would pick per row).
+    """
+    ch = _CHANNELS[color_type]
+    if color_type == 3:
+        raise PngError("encode_palette", "palette encoding not supported")
+    if len(pixels) != width * height * ch:
+        raise PngError("encode_size", "pixel buffer does not match dimensions")
+    row_len = width * ch
+    raw = bytearray()
+    prev = bytes(row_len)
+    for y in range(height):
+        row = pixels[y * row_len : (y + 1) * row_len]
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += row
+        else:
+            for i in range(row_len):
+                a = row[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if filter_type == 1:
+                    pred = a
+                elif filter_type == 2:
+                    pred = b
+                elif filter_type == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                raw.append((row[i] - pred) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> Dict:
+    """→ {width, height, bit_depth, color_type, channels, pixels} with
+    ``pixels`` de-filtered, palette-expanded to RGB when applicable."""
+    if data[:8] != _SIG:
+        raise PngError("not_png", "missing PNG signature")
+    pos = 8
+    ihdr = None
+    idat: List[bytes] = []
+    plte = b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # skip CRC (tolerated, not verified)
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise PngError("no_ihdr", "missing IHDR chunk")
+    w, h, bd, ct, comp, filt, interlace = ihdr
+    if interlace != 0:
+        raise PngError("interlaced", "Adam7 interlacing not supported")
+    if bd != 8:
+        raise PngError("bit_depth", f"bit depth {bd} not supported (8 only)")
+    if ct not in _CHANNELS:
+        raise PngError("color_type", f"color type {ct} not supported")
+    if comp != 0 or filt != 0:
+        raise PngError("method", "non-standard compression/filter method")
+    ch = _CHANNELS[ct]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise PngError("zlib", f"IDAT inflate failed: {e}") from None
+    expected = h * (w * ch + 1)
+    if len(raw) < expected:
+        raise PngError("truncated", "IDAT shorter than image dimensions imply")
+    pixels = apply_predictor(
+        raw[:expected],
+        {"Predictor": 15, "Colors": ch, "BitsPerComponent": 8, "Columns": w},
+    )
+    if ct == 3:
+        if not plte:
+            raise PngError("no_plte", "palette image without PLTE chunk")
+        rgb = bytearray()
+        for idx in pixels:
+            off = idx * 3
+            if off + 3 > len(plte):
+                raise PngError("plte_range", "palette index out of range")
+            rgb += plte[off : off + 3]
+        pixels, ch, ct = bytes(rgb), 3, 2
+    return {
+        "width": w,
+        "height": h,
+        "bit_depth": bd,
+        "color_type": ct,
+        "channels": ch,
+        "pixels": pixels,
+    }
+
+
+def resize_nearest(img: Dict, out_w: int, out_h: int) -> Dict:
+    """Nearest-neighbor resize of a decoded image (per-channel)."""
+    w, h, ch, px = img["width"], img["height"], img["channels"], img["pixels"]
+    out = bytearray()
+    for y in range(out_h):
+        sy = min(h - 1, (y * h) // out_h) if h else 0
+        for x in range(out_w):
+            sx = min(w - 1, (x * w) // out_w) if w else 0
+            off = (sy * w + sx) * ch
+            out += px[off : off + ch]
+    return {
+        "width": out_w, "height": out_h, "bit_depth": 8,
+        "color_type": img["color_type"], "channels": ch, "pixels": bytes(out),
+    }

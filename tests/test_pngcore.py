@@ -1,0 +1,112 @@
+"""Pure-stdlib PNG codec: encode/decode round-trips across every row
+filter, palette expansion, typed errors, and the REAL multimodal path."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from pdf_parser_spark import multimodal as mm
+from pdf_parser_spark.pngcore import (
+    PngError,
+    _chunk,
+    decode_png,
+    encode_png,
+    resize_nearest,
+)
+
+
+def _pixels(w, h, ch):
+    # deterministic gradient with per-channel offset — exercises Sub/Up/
+    # Avg/Paeth meaningfully (rows and columns both vary)
+    return bytes(((x * 7 + y * 13 + c * 29) % 256)
+                 for y in range(h) for x in range(w) for c in range(ch))
+
+
+@pytest.mark.parametrize("color_type,ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_roundtrip_all_filters_and_color_types(color_type, ch, filter_type):
+    w, h = 13, 7
+    px = _pixels(w, h, ch)
+    blob = encode_png(w, h, px, color_type=color_type, filter_type=filter_type)
+    img = decode_png(blob)
+    assert (img["width"], img["height"], img["channels"]) == (w, h, ch if color_type != 3 else 3)
+    assert img["pixels"] == px
+
+
+def test_palette_expansion():
+    # hand-built 2x2 palette image: indices 0..3 → distinct RGB entries
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    raw = bytes([0, 0, 1, 0, 2, 3])  # two rows, filter byte 0 + 2 indices
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    blob = (sig + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    img = decode_png(blob)
+    assert img["channels"] == 3
+    assert img["pixels"] == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+
+
+def test_typed_errors():
+    with pytest.raises(PngError) as ei:
+        decode_png(b"not a png at all")
+    assert ei.value.code == "not_png"
+    # interlaced
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    blob = sig + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(PngError) as ei:
+        decode_png(blob)
+    assert ei.value.code == "interlaced"
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    with pytest.raises(PngError) as ei:
+        decode_png(sig + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b""))
+    assert ei.value.code == "bit_depth"
+
+
+def test_resize_nearest_known_values():
+    # 2x2 gray: [[10, 20], [30, 40]] → 4x4 nearest repeats each quadrant
+    blob = encode_png(2, 2, bytes([10, 20, 30, 40]), color_type=0)
+    img = decode_png(blob)
+    big = resize_nearest(img, 4, 4)
+    assert bytes(big["pixels"]) == bytes(
+        [10, 10, 20, 20, 10, 10, 20, 20, 30, 30, 40, 40, 30, 30, 40, 40]
+    )
+    small = resize_nearest(img, 1, 1)
+    assert bytes(small["pixels"]) == bytes([10])
+
+
+def test_multimodal_decodes_real_png():
+    px = _pixels(8, 4, 3)
+    blob = encode_png(8, 4, px, color_type=2)
+    meta = mm.decode_media(blob)
+    assert meta["kind"] == "image"
+    assert (meta["width"], meta["height"], meta["channels"]) == (8, 4, 3)
+    thumb = mm.resize_image(blob, 4, 2)
+    timg = decode_png(thumb)
+    assert (timg["width"], timg["height"]) == (4, 2)
+    assert mm.thumb_pixel_sum(thumb) == sum(timg["pixels"])
+    # JPEG stays gated
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"\xff\xd8\xff\xe0rest")
+
+
+def test_multimodal_spark_stage_on_real_pngs(spark):
+    rows = []
+    for i in range(6):
+        px = _pixels(4 + i, 3, 3)
+        rows.append((i, encode_png(4 + i, 3, px, color_type=2)))
+    rows.append((99, b"\xff\xd8\xffJPEG-ish"))  # gated format → error row
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r["doc_id"]: r for r in mm.media_metadata(df).collect()}
+    for i in range(6):
+        assert out[i]["kind"] == "image" and out[i]["width"] == 4 + i
+        assert out[i]["error"] is None
+    assert out[99]["error"] is not None and "JPEG" in out[99]["error"]
+    thumbs = {r["doc_id"]: r for r in mm.resized_thumbnails(df, 2, 2).collect()}
+    assert set(thumbs) == set(range(6))  # JPEG row skipped, PNGs resized
+    for i in range(6):
+        assert thumbs[i]["pixel_sum"] == sum(decode_png(bytes(thumbs[i]["thumb"]))["pixels"])
