@@ -876,6 +876,71 @@ FROM base
 
 
 # ----------------------------------------------------------------------
+# real-PNG round trip: encode from text bytes → decode → metadata+sums
+# ----------------------------------------------------------------------
+def _png_roundtrip_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .pngcore import decode_png, encode_png, resize_nearest
+
+    for b in batches:
+        cols = {k: [] for k in ("doc_id", "width", "height", "channels",
+                                "pixel_sum", "thumb_sum")}
+        for doc_id, text in zip(b["doc_id"].tolist(), b["text"].tolist()):
+            i = int(doc_id)
+            data = str(text).encode("utf-8")
+            w, h, ch = 4 + i % 8, 3 + i % 5, 3
+            px = bytes(data[j % len(data)] for j in range(w * h * ch))
+            blob = encode_png(w, h, px, color_type=2, filter_type=i % 5)
+            img = decode_png(blob)  # REAL decode; sums prove pixel identity
+            thumb = resize_nearest(img, 2, 2)
+            cols["doc_id"].append(i)
+            cols["width"].append(img["width"])
+            cols["height"].append(img["height"])
+            cols["channels"].append(img["channels"])
+            cols["pixel_sum"].append(int(sum(img["pixels"])))
+            cols["thumb_sum"].append(int(sum(thumb["pixels"])))
+        yield pd.DataFrame(cols)
+
+
+def q_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG codec end to end at driver scale: text bytes → pixels →
+    encode (filter_type = doc_id % 5, so ALL FIVE row filters are live)
+    → decode → nearest-neighbor 2×2 thumbnail. The oracle never touches
+    PNG — it derives the identical sums straight from the text bytes,
+    so any codec defect breaks the hash."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.mapInPandas(
+        _png_roundtrip_mapper,
+        schema="doc_id long, width int, height int, channels int,"
+        " pixel_sum long, thumb_sum long",
+    )
+
+
+def _sql_png_roundtrip() -> str:
+    # thumbnail source pixels: 2x2 nearest neighbor over (w,h), 3 channels
+    terms = []
+    for y in range(2):
+        for x in range(2):
+            sy = f"least(h - 1, CAST(floor({y} * h / 2) AS INT))"
+            sx = f"least(w - 1, CAST(floor({x} * w / 2) AS INT))"
+            for c in range(3):
+                idx = f"(({sy} * w + {sx}) * 3 + {c})"
+                terms.append(f"ascii(substr(text, ({idx} % n) + 1, 1))")
+    thumb = " + ".join(terms)
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h
+  FROM documents
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, 3 AS channels,
+       CAST(list_sum(list_transform(generate_series(0, w * h * 3 - 1),
+                     i -> ascii(substr(text, (i % n) + 1, 1)))) AS BIGINT) AS pixel_sum,
+       CAST({thumb} AS BIGINT) AS thumb_sum
+FROM d
+"""
+
+
+# ----------------------------------------------------------------------
 # composite training-data pipeline: dedup → language → quality → tokens
 # ----------------------------------------------------------------------
 def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -973,6 +1038,7 @@ def data_queries():
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
+        "png_roundtrip": q_png_roundtrip,
     }
 
 
@@ -1010,6 +1076,7 @@ def data_oracle_sql():
         "multimodal_resize": _sql_multimodal_resize(),
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "multimodal_meta": SQL_MULTIMODAL_META,
+        "png_roundtrip": _sql_png_roundtrip(),
     }
 
 
