@@ -40,7 +40,7 @@ MEDIA_SCHEMA = (
 _KINDS = {0: "image", 1: "audio", 2: "video"}
 _MAGICS = {
     b"\xff\xd8\xff": "JPEG (install pillow)",
-    b"RIFF": "WAV/AVI (install soundfile/ffmpeg)",
+    b"RIFF": "AVI/other RIFF (install ffmpeg)",  # RIFF+WAVE decodes for real
     b"\x00\x00\x00\x18": "MP4 (install ffmpeg)",
 }
 _PNG_SIG = b"\x89PNG"
@@ -62,6 +62,22 @@ def decode_media(blob: bytes) -> dict:
             "sample_rate": 0, "channels": img["channels"], "n_frames": 1,
             "n_bytes": len(img["pixels"]),
         }
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        # REAL PCM WAV decode via the stdlib wave module
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(blob)) as wf:
+                return {
+                    "kind": "audio", "width": 0, "height": 0,
+                    "sample_rate": wf.getframerate(),
+                    "channels": wf.getnchannels(),
+                    "n_frames": wf.getnframes(),
+                    "n_bytes": wf.getnframes() * wf.getnchannels() * wf.getsampwidth(),
+                }
+        except wave.Error as e:  # corrupt WAV → error ROW, not a crash
+            raise ValueError(f"corrupt WAV: {e}") from None
     for magic, what in _MAGICS.items():
         if blob[: len(magic)] == magic:
             raise NotImplementedError(f"real codec not available in sandbox: {what}")
@@ -110,6 +126,15 @@ def resize_image(blob: bytes, out_w: int, out_h: int) -> bytes:
             sx = min(w - 1, (x * w) // out_w) if w else 0
             out.append(_px(payload, sy * w + sx))
     return encode_fake(0, out_w, out_h, 1, bytes(out))
+
+
+def wav_samples(blob: bytes) -> bytes:
+    """Raw PCM frame bytes of a real WAV (for sample-level features)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob)) as wf:
+        return wf.readframes(wf.getnframes())
 
 
 def thumb_pixel_sum(thumb: bytes) -> int:

@@ -941,6 +941,65 @@ FROM d
 
 
 # ----------------------------------------------------------------------
+# real-WAV round trip: encode PCM from text bytes → decode → sums
+# ----------------------------------------------------------------------
+def _wav_roundtrip_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import io
+    import wave
+
+    from .multimodal import decode_media, wav_samples
+
+    for b in batches:
+        cols = {k: [] for k in ("doc_id", "sample_rate", "channels",
+                                "n_frames", "sample_sum")}
+        for doc_id, text in zip(b["doc_id"].tolist(), b["text"].tolist()):
+            i = int(doc_id)
+            data = str(text).encode("utf-8")
+            n = 64 + i % 64
+            samples = bytes(data[j % len(data)] for j in range(n))
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(1)  # 8-bit PCM: samples ARE the bytes
+                wf.setframerate(8000 + (i % 4) * 4000)
+                wf.writeframes(samples)
+            blob = buf.getvalue()
+            meta = decode_media(blob)  # REAL stdlib WAV decode
+            cols["doc_id"].append(i)
+            cols["sample_rate"].append(meta["sample_rate"])
+            cols["channels"].append(meta["channels"])
+            cols["n_frames"].append(meta["n_frames"])
+            cols["sample_sum"].append(int(sum(wav_samples(blob))))
+        yield pd.DataFrame(cols)
+
+
+def q_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio codec end to end: text bytes → 8-bit mono PCM WAV →
+    stdlib decode → metadata + sample sum. The oracle derives the
+    identical values straight from the text bytes."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.mapInPandas(
+        _wav_roundtrip_mapper,
+        schema="doc_id long, sample_rate int, channels int, n_frames int, sample_sum long",
+    )
+
+
+SQL_WAV_ROUNDTRIP = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n, 64 + doc_id % 64 AS nf
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+       1 AS channels,
+       CAST(nf AS INT) AS n_frames,
+       CAST(list_sum(list_transform(generate_series(0, nf - 1),
+                     i -> ascii(substr(text, (i % n) + 1, 1)))) AS BIGINT) AS sample_sum
+FROM d
+"""
+
+
+# ----------------------------------------------------------------------
 # composite training-data pipeline: dedup → language → quality → tokens
 # ----------------------------------------------------------------------
 def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1039,6 +1098,7 @@ def data_queries():
         "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
         "png_roundtrip": q_png_roundtrip,
+        "wav_roundtrip": q_wav_roundtrip,
     }
 
 
@@ -1077,6 +1137,7 @@ def data_oracle_sql():
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "png_roundtrip": _sql_png_roundtrip(),
+        "wav_roundtrip": SQL_WAV_ROUNDTRIP,
     }
 
 

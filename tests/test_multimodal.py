@@ -11,9 +11,11 @@ from pdf_parser_spark import multimodal as mm
 def test_real_formats_are_gated():
     # PNG is no longer gated (pngcore decodes it for real); the other
     # real formats still raise the install-me stub
-    for magic in (b"\xff\xd8\xff\xe0--", b"RIFF1234WAVE"):
+    for magic in (b"\xff\xd8\xff\xe0--", b"RIFF1234AVI "):
         with pytest.raises(NotImplementedError, match="install"):
             mm.decode_media(magic + b"\x00" * 20)
+    with pytest.raises(ValueError, match="corrupt WAV"):  # WAVE is real now
+        mm.decode_media(b"RIFF1234WAVE" + b"\x00" * 20)
     from pdf_parser_spark.pngcore import PngError
 
     with pytest.raises(PngError):  # PNG signature + garbage → typed error
@@ -71,3 +73,24 @@ def test_spark_stage_error_rows(spark):
     assert "install" in got[2]["error"]
     assert "unknown media container" in got[3]["error"]
     assert "IHDR" in got[4]["error"]
+
+
+def test_real_wav_decode():
+    """RIFF+WAVE decodes for real via the stdlib wave module; other
+    RIFF containers (AVI) stay gated."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(44100)
+        wf.writeframes(b"\x01\x02\x03\x04" * 10)
+    meta = mm.decode_media(buf.getvalue())
+    assert meta["kind"] == "audio"
+    assert (meta["sample_rate"], meta["channels"], meta["n_frames"]) == (44100, 2, 10)
+    assert meta["n_bytes"] == 40
+    assert mm.wav_samples(buf.getvalue()) == b"\x01\x02\x03\x04" * 10
+    with pytest.raises(NotImplementedError, match="AVI"):
+        mm.decode_media(b"RIFF\x00\x00\x00\x00AVI LIST" + b"\x00" * 20)
