@@ -41,7 +41,6 @@ _KINDS = {0: "image", 1: "audio", 2: "video"}
 _MAGICS = {
     b"\xff\xd8\xff": "JPEG (install pillow)",
     b"RIFF": "AVI/other RIFF (install ffmpeg)",  # RIFF+WAVE decodes for real
-    b"\x00\x00\x00\x18": "MP4 (install ffmpeg)",
 }
 _PNG_SIG = b"\x89PNG"
 
@@ -78,6 +77,9 @@ def decode_media(blob: bytes) -> dict:
                 }
         except wave.Error as e:  # corrupt WAV → error ROW, not a crash
             raise ValueError(f"corrupt WAV: {e}") from None
+    if len(blob) >= 12 and blob[4:8] == b"ftyp":
+        # REAL ISO-BMFF metadata walk (frame decode needs real codecs)
+        return decode_mp4_metadata(blob)
     for magic, what in _MAGICS.items():
         if blob[: len(magic)] == magic:
             raise NotImplementedError(f"real codec not available in sandbox: {what}")
@@ -224,3 +226,56 @@ def sampled_frames(df: DataFrame, every: int = 10, media_col: str = "media") -> 
     return df.select("doc_id", F.col(media_col).alias("media")).mapInPandas(
         mapper, schema="doc_id long, frame_idx int, first_pixel int"
     )
+
+
+# ----------------------------------------------------------------------
+# MP4 metadata (real box-structure walk — ffprobe-lite; frame DECODE
+# still needs real codecs and stays gated)
+# ----------------------------------------------------------------------
+def _walk_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:  # box extends to end
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("corrupt MP4: bad box size")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def decode_mp4_metadata(blob: bytes) -> dict:
+    """moov/mvhd (timescale, duration) + first video tkhd (width,
+    height) from the ISO BMFF box tree. Returns the MEDIA_SCHEMA dict:
+    sample_rate = mvhd timescale, n_frames = mvhd duration in ticks."""
+    timescale = duration = width = height = 0
+    found_moov = False
+    for btype, s, e in _walk_boxes(blob, 0, len(blob)):
+        if btype != b"moov":
+            continue
+        found_moov = True
+        for b2, s2, e2 in _walk_boxes(blob, s, e):
+            if b2 == b"mvhd":
+                ver = blob[s2]
+                if ver == 1:
+                    timescale, duration = struct.unpack(">IQ", blob[s2 + 20 : s2 + 32])
+                else:
+                    timescale, duration = struct.unpack(">II", blob[s2 + 12 : s2 + 20])
+            elif b2 == b"trak":
+                for b3, s3, e3 in _walk_boxes(blob, s2, e2):
+                    if b3 == b"tkhd" and not width:
+                        # width/height: last 8 bytes, 16.16 fixed point
+                        w_fx, h_fx = struct.unpack(">II", blob[e3 - 8 : e3])
+                        width, height = w_fx >> 16, h_fx >> 16
+    if not found_moov:
+        raise ValueError("corrupt MP4: no moov box")
+    return {
+        "kind": "video", "width": width, "height": height,
+        "sample_rate": timescale, "channels": 0, "n_frames": duration,
+        "n_bytes": len(blob),
+    }

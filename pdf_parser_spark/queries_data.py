@@ -1000,6 +1000,63 @@ FROM d
 
 
 # ----------------------------------------------------------------------
+# real-MP4 metadata round trip: ISO-BMFF box tree → walk → fields
+# ----------------------------------------------------------------------
+def _mp4_roundtrip_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import struct as st
+
+    from .multimodal import decode_media
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return st.pack(">I", len(body) + 8) + tag + body
+
+    for b in batches:
+        cols = {k: [] for k in ("doc_id", "width", "height", "timescale", "duration")}
+        for doc_id in b["doc_id"].tolist():
+            i = int(doc_id)
+            w, h = 320 + (i % 16) * 16, 180 + (i % 9) * 30
+            ts, dur = 1000 + (i % 30) * 1000, (i % 100) * 500
+            if i % 2:  # version-1 mvhd (64-bit duration)
+                mvhd = box(b"mvhd", b"\x01" + b"\x00" * 3 + b"\x00" * 16
+                           + st.pack(">IQ", ts, dur) + b"\x00" * 80)
+            else:
+                mvhd = box(b"mvhd", b"\x00" * 4 + b"\x00" * 8
+                           + st.pack(">II", ts, dur) + b"\x00" * 80)
+            tkhd = box(b"tkhd", b"\x00" * 76 + st.pack(">II", w << 16, h << 16))
+            blob = (box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+                    + box(b"moov", mvhd + box(b"trak", tkhd)))
+            meta = decode_media(blob)  # REAL box walk
+            cols["doc_id"].append(i)
+            cols["width"].append(meta["width"])
+            cols["height"].append(meta["height"])
+            cols["timescale"].append(meta["sample_rate"])
+            cols["duration"].append(meta["n_frames"])
+        yield pd.DataFrame(cols)
+
+
+def q_mp4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real ISO-BMFF metadata walk at driver scale: synthesize MP4 box
+    trees (alternating mvhd version 0/1 per doc), decode via the real
+    walker, and hash the extracted fields against the oracle's
+    closed-form expectations."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    return d.mapInPandas(
+        _mp4_roundtrip_mapper,
+        schema="doc_id long, width int, height int, timescale int, duration long",
+    )
+
+
+SQL_MP4_ROUNDTRIP = """
+SELECT doc_id,
+       CAST(320 + (doc_id % 16) * 16 AS INT) AS width,
+       CAST(180 + (doc_id % 9) * 30 AS INT) AS height,
+       CAST(1000 + (doc_id % 30) * 1000 AS INT) AS timescale,
+       CAST((doc_id % 100) * 500 AS BIGINT) AS duration
+FROM documents
+"""
+
+
+# ----------------------------------------------------------------------
 # composite training-data pipeline: dedup → language → quality → tokens
 # ----------------------------------------------------------------------
 def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1099,6 +1156,7 @@ def data_queries():
         "multimodal_meta": q_multimodal_meta,
         "png_roundtrip": q_png_roundtrip,
         "wav_roundtrip": q_wav_roundtrip,
+        "mp4_roundtrip": q_mp4_roundtrip,
     }
 
 
@@ -1138,6 +1196,7 @@ def data_oracle_sql():
         "multimodal_meta": SQL_MULTIMODAL_META,
         "png_roundtrip": _sql_png_roundtrip(),
         "wav_roundtrip": SQL_WAV_ROUNDTRIP,
+        "mp4_roundtrip": SQL_MP4_ROUNDTRIP,
     }
 
 

@@ -94,3 +94,37 @@ def test_real_wav_decode():
     assert mm.wav_samples(buf.getvalue()) == b"\x01\x02\x03\x04" * 10
     with pytest.raises(NotImplementedError, match="AVI"):
         mm.decode_media(b"RIFF\x00\x00\x00\x00AVI LIST" + b"\x00" * 20)
+
+
+def _make_mp4(width, height, timescale, duration, version=0):
+    import struct as st
+
+    def box(tag, body):
+        return st.pack(">I", len(body) + 8) + tag + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    if version == 1:
+        mvhd = box(b"mvhd", b"\x01" + b"\x00" * 3 + b"\x00" * 16
+                   + st.pack(">IQ", timescale, duration) + b"\x00" * 80)
+    else:
+        mvhd = box(b"mvhd", b"\x00" * 4 + b"\x00" * 8
+                   + st.pack(">II", timescale, duration) + b"\x00" * 80)
+    tkhd = box(b"tkhd", b"\x00" * 4 + b"\x00" * 72
+               + st.pack(">II", width << 16, height << 16))
+    trak = box(b"trak", tkhd)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def test_real_mp4_metadata():
+    for ver in (0, 1):
+        blob = _make_mp4(640, 360, 30000, 90000, version=ver)
+        meta = mm.decode_media(blob)
+        assert meta["kind"] == "video"
+        assert (meta["width"], meta["height"]) == (640, 360)
+        assert (meta["sample_rate"], meta["n_frames"]) == (30000, 90000)
+    with pytest.raises(ValueError, match="no moov"):
+        mm.decode_media(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")
+    with pytest.raises(ValueError, match="bad box size"):
+        mm.decode_media(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00"
+                        b"\xff\xff\xff\xffmoov")
