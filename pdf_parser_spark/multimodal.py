@@ -7,9 +7,14 @@ run as Arrow-batched functions over ``mapInPandas``.
 - **PNG decodes FOR REAL** (round 2): pure-stdlib codec in
   :mod:`.pngcore` — zlib + the repo's own PNG row filters; metadata,
   nearest-neighbor resize, and re-encode all operate on actual pixels.
-- JPEG/WAV/MP4 stay STUBBED (``NotImplementedError`` naming the
-  library a deployment would install — PIL/ffmpeg/soundfile are
-  genuinely absent in this container).
+- **JPEG decodes FOR REAL** (round 3): baseline/extended-sequential
+  huffman codec in :mod:`.jpegcore` (markers, DQT/DHT, MCU entropy
+  decode, IDCT, chroma upsampling, YCbCr→RGB); progressive/arithmetic
+  modes surface as typed error rows naming the mode.
+- **WAV (stdlib) and MP4 metadata walk** are real (round 2); only
+  video FRAME decode stays gated (``NotImplementedError`` naming the
+  library a deployment would install — real codecs are genuinely
+  absent in this container).
 - the deterministic ``FAKE`` container (our synthetic corpus format)
   also decodes for real, so every downstream stage — schema,
   partitioning, Arrow batch shape, resize math, frame sampling — is
@@ -39,10 +44,10 @@ MEDIA_SCHEMA = (
 
 _KINDS = {0: "image", 1: "audio", 2: "video"}
 _MAGICS = {
-    b"\xff\xd8\xff": "JPEG (install pillow)",
     b"RIFF": "AVI/other RIFF (install ffmpeg)",  # RIFF+WAVE decodes for real
 }
 _PNG_SIG = b"\x89PNG"
+_JPEG_SIG = b"\xff\xd8\xff"
 
 
 def encode_fake(kind: int, a: int, b: int, c: int, payload: bytes) -> bytes:
@@ -50,8 +55,17 @@ def encode_fake(kind: int, a: int, b: int, c: int, payload: bytes) -> bytes:
 
 
 def decode_media(blob: bytes) -> dict:
-    """Header decode: PNG and FAKE for real; other real formats →
-    NotImplementedError (stub gate)."""
+    """Header decode: PNG, JPEG, WAV, MP4 metadata and FAKE for real;
+    remaining real formats → NotImplementedError (stub gate)."""
+    if blob[: len(_JPEG_SIG)] == _JPEG_SIG:
+        from . import jpegcore
+
+        hdr = jpegcore.parse_jpeg_header(blob)  # cheap: SOF scan only
+        return {
+            "kind": "image", "width": hdr["width"], "height": hdr["height"],
+            "sample_rate": 0, "channels": hdr["channels"], "n_frames": 1,
+            "n_bytes": hdr["width"] * hdr["height"] * hdr["channels"],
+        }
     if blob[: len(_PNG_SIG)] == _PNG_SIG:
         from . import pngcore
 
@@ -106,8 +120,18 @@ def _px(payload: bytes, i: int) -> int:
 
 
 def resize_image(blob: bytes, out_w: int, out_h: int) -> bytes:
-    """Nearest-neighbor resize: REAL pixels for PNG (pngcore), fake
-    pixels for the FAKE container (same math either way)."""
+    """Nearest-neighbor resize: REAL pixels for PNG (pngcore) and JPEG
+    (jpegcore, thumb re-encoded as lossless PNG), fake pixels for the
+    FAKE container (same math either way)."""
+    if blob[: len(_JPEG_SIG)] == _JPEG_SIG:
+        from . import jpegcore, pngcore
+
+        img = jpegcore.decode_jpeg(blob)
+        img["color_type"] = 0 if img["channels"] == 1 else 2
+        small = pngcore.resize_nearest(img, out_w, out_h)
+        return pngcore.encode_png(
+            out_w, out_h, small["pixels"], color_type=small["color_type"]
+        )
     if blob[: len(_PNG_SIG)] == _PNG_SIG:
         from . import pngcore
 
@@ -190,41 +214,79 @@ def media_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
 
 
 def resized_thumbnails(df: DataFrame, out_w: int, out_h: int, media_col: str = "media") -> DataFrame:
+    """One output row per input row: success → (thumb, pixel_sum,
+    error=NULL); undecodable / wrong-kind / gated-codec input → a typed
+    error row (NULL payload, error string).  Failures must be rows, not
+    absences — at corpus scale a silently-dropped row makes "no
+    thumbnail" indistinguishable from a decoder bug in the audit
+    metrics (same principle as extract.py's error_code rows)."""
+
     def mapper(batches):
         for b in batches:
-            ids, blobs, sums = [], [], []
+            ids, blobs, sums, errs = [], [], [], []
             for doc_id, blob in zip(b["doc_id"].tolist(), b["media"].tolist()):
+                ids.append(int(doc_id))
                 try:
                     t = resize_image(bytes(blob), out_w, out_h)
-                except (ValueError, NotImplementedError):
-                    continue
-                ids.append(int(doc_id))
-                blobs.append(t)
-                sums.append(thumb_pixel_sum(t))
-            yield pd.DataFrame({"doc_id": ids, "thumb": blobs, "pixel_sum": sums})
+                    blobs.append(t)
+                    sums.append(thumb_pixel_sum(t))
+                    errs.append(None)
+                except (ValueError, NotImplementedError) as e:
+                    blobs.append(None)
+                    sums.append(None)
+                    errs.append(str(e)[:200])
+            yield pd.DataFrame({"doc_id": ids, "thumb": blobs,
+                                "pixel_sum": sums, "error": errs})
 
     return df.select("doc_id", F.col(media_col).alias("media")).mapInPandas(
-        mapper, schema="doc_id long, thumb binary, pixel_sum long"
+        mapper, schema="doc_id long, thumb binary, pixel_sum long, error string"
     )
 
 
 def sampled_frames(df: DataFrame, every: int = 10, media_col: str = "media") -> DataFrame:
+    """Frame rows per decodable video; every undecodable / wrong-kind
+    input contributes exactly ONE typed error row (NULL frame_idx /
+    first_pixel) so no document silently disappears from the stage."""
+
     def mapper(batches):
         for b in batches:
-            ids, idxs, pxs = [], [], []
+            ids, idxs, pxs, errs = [], [], [], []
             for doc_id, blob in zip(b["doc_id"].tolist(), b["media"].tolist()):
                 try:
                     frames = sample_frames(bytes(blob), every)
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError) as e:
+                    ids.append(int(doc_id))
+                    idxs.append(None)
+                    pxs.append(None)
+                    errs.append(str(e)[:200])
                     continue
                 for i, p in frames:
                     ids.append(int(doc_id))
                     idxs.append(i)
                     pxs.append(p)
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "first_pixel": pxs})
+                    errs.append(None)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "first_pixel": pxs, "error": errs})
 
     return df.select("doc_id", F.col(media_col).alias("media")).mapInPandas(
-        mapper, schema="doc_id long, frame_idx int, first_pixel int"
+        mapper, schema="doc_id long, frame_idx int, first_pixel int, error string"
+    )
+
+
+def media_stage_metrics(stage_out: DataFrame) -> DataFrame:
+    """Per-task lineage for any multimodal stage output carrying an
+    ``error`` column: (partition_id, docs, failures) — the audit-table
+    counters that make dropped-vs-failed reconcilable downstream."""
+    return (
+        stage_out.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            F.countDistinct("doc_id").alias("docs"),
+            F.countDistinct(
+                F.when(F.col("error").isNotNull(), F.col("doc_id"))
+            ).alias("failures"),
+        )
+        .select(F.col("_pid").alias("partition_id"), "docs", "failures")
     )
 
 

@@ -105,6 +105,10 @@ def decode_png(data: bytes) -> Dict:
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            # a corrupt declared length must surface as a typed error,
+            # not silently truncate the chunk and drop the rest of the file
+            raise PngError("truncated", f"chunk {tag!r} overruns file")
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # skip CRC (tolerated, not verified)
         if tag == b"IHDR":

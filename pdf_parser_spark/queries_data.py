@@ -878,6 +878,23 @@ FROM base
 # ----------------------------------------------------------------------
 # real-PNG round trip: encode from text bytes → decode → metadata+sums
 # ----------------------------------------------------------------------
+def _oracle_bytes(doc_id: int, text) -> bytes:
+    """Text → bytes for the codec round-trip mappers.
+
+    The DuckDB oracles index CHARACTERS (``ascii(substr(text, i+1, 1))``)
+    while these mappers index BYTES — identical only for ASCII,
+    non-empty text.  Enforce that invariant loudly instead of letting
+    parity silently depend on it (a non-ASCII or empty document must
+    fail the run, not flip a hash)."""
+    data = str(text).encode("utf-8")
+    if not data:
+        raise ValueError(f"doc {doc_id}: empty text unsupported by roundtrip oracle")
+    if max(data) > 127:
+        raise ValueError(f"doc {doc_id}: non-ASCII text breaks byte/char oracle parity")
+    return data
+
+
+
 def _png_roundtrip_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from .pngcore import decode_png, encode_png, resize_nearest
 
@@ -886,7 +903,7 @@ def _png_roundtrip_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                                 "pixel_sum", "thumb_sum")}
         for doc_id, text in zip(b["doc_id"].tolist(), b["text"].tolist()):
             i = int(doc_id)
-            data = str(text).encode("utf-8")
+            data = _oracle_bytes(i, text)
             w, h, ch = 4 + i % 8, 3 + i % 5, 3
             px = bytes(data[j % len(data)] for j in range(w * h * ch))
             blob = encode_png(w, h, px, color_type=2, filter_type=i % 5)
@@ -941,6 +958,83 @@ FROM d
 
 
 # ----------------------------------------------------------------------
+# real-JPEG round trip: flat-block encode from text bytes → baseline
+# huffman decode → metadata + pixel sums (round-3 addition)
+# ----------------------------------------------------------------------
+def _jpeg_roundtrip_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from .jpegcore import decode_jpeg, encode_jpeg
+    from .pngcore import resize_nearest
+
+    for b in batches:
+        cols = {k: [] for k in ("doc_id", "width", "height", "channels",
+                                "pixel_sum", "thumb_sum")}
+        for doc_id, text in zip(b["doc_id"].tolist(), b["text"].tolist()):
+            i = int(doc_id)
+            data = _oracle_bytes(i, text)
+            wb, hb = 2 + i % 3, 1 + i % 2
+            px = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+            for j in range(wb * hb):
+                by, bx = divmod(j, wb)
+                px[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = data[j % len(data)]
+            blob = encode_jpeg(
+                wb * 8, hb * 8, px.tobytes(), channels=1,
+                restart_interval=1 + i % 3,  # RSTn resync live per doc
+            )
+            img = decode_jpeg(blob)  # REAL marker+huffman+IDCT decode
+            img["color_type"] = 0
+            thumb = resize_nearest(img, 2, 2)
+            cols["doc_id"].append(i)
+            cols["width"].append(img["width"])
+            cols["height"].append(img["height"])
+            cols["channels"].append(img["channels"])
+            cols["pixel_sum"].append(int(np.frombuffer(img["pixels"], np.uint8).sum()))
+            cols["thumb_sum"].append(int(sum(thumb["pixels"])))
+        yield pd.DataFrame(cols)
+
+
+def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline JPEG codec end to end at driver scale: text bytes
+    → one gray value per 8×8 block → encode (all-ones quant, restart
+    interval = doc_id % 3 + 1 so the RSTn resync path is live) → full
+    entropy decode + IDCT → 2×2 nearest thumbnail.  With unit quant a
+    constant block round-trips byte-identically (DC = 8·(v−128) is an
+    exact integer, ACs quantize to 0), so the oracle derives the
+    decoded sums straight from the text bytes and never touches JPEG —
+    any marker/huffman/zigzag/IDCT defect breaks the hash."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.mapInPandas(
+        _jpeg_roundtrip_mapper,
+        schema="doc_id long, width int, height int, channels int,"
+        " pixel_sum long, thumb_sum long",
+    )
+
+
+# thumbnail: 2×2 nearest-neighbor sample lands on block rows {0, hb//2}
+# × block cols {0, wb//2} (sy = (y*8*hb)//2 → block row (4*hb*y)//8)
+SQL_JPEG_ROUNDTRIP = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         2 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+  FROM documents
+)
+SELECT doc_id,
+       CAST(wb * 8 AS INT) AS width,
+       CAST(hb * 8 AS INT) AS height,
+       1 AS channels,
+       CAST(64 * list_sum(list_transform(generate_series(0, wb * hb - 1),
+                    j -> ascii(substr(text, (j % n) + 1, 1)))) AS BIGINT) AS pixel_sum,
+       CAST(ascii(substr(text, (0 % n) + 1, 1))
+          + ascii(substr(text, ((wb // 2) % n) + 1, 1))
+          + ascii(substr(text, (((hb // 2) * wb) % n) + 1, 1))
+          + ascii(substr(text, (((hb // 2) * wb + wb // 2) % n) + 1, 1))
+         AS BIGINT) AS thumb_sum
+FROM d
+"""
+
+
+# ----------------------------------------------------------------------
 # real-WAV round trip: encode PCM from text bytes → decode → sums
 # ----------------------------------------------------------------------
 def _wav_roundtrip_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -954,7 +1048,7 @@ def _wav_roundtrip_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                                 "n_frames", "sample_sum")}
         for doc_id, text in zip(b["doc_id"].tolist(), b["text"].tolist()):
             i = int(doc_id)
-            data = str(text).encode("utf-8")
+            data = _oracle_bytes(i, text)
             n = 64 + i % 64
             samples = bytes(data[j % len(data)] for j in range(n))
             buf = io.BytesIO()
@@ -1155,6 +1249,7 @@ def data_queries():
         "multimodal_frames": q_multimodal_frames,
         "multimodal_meta": q_multimodal_meta,
         "png_roundtrip": q_png_roundtrip,
+        "jpeg_roundtrip": q_jpeg_roundtrip,
         "wav_roundtrip": q_wav_roundtrip,
         "mp4_roundtrip": q_mp4_roundtrip,
     }
@@ -1195,6 +1290,7 @@ def data_oracle_sql():
         "multimodal_frames": SQL_MULTIMODAL_FRAMES,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "png_roundtrip": _sql_png_roundtrip(),
+        "jpeg_roundtrip": SQL_JPEG_ROUNDTRIP,
         "wav_roundtrip": SQL_WAV_ROUNDTRIP,
         "mp4_roundtrip": SQL_MP4_ROUNDTRIP,
     }
@@ -1409,10 +1505,12 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import multimodal as mm
 
     out = mm.resized_thumbnails(_fake_media(spark, sf_dir), out_w=4, out_h=3)
-    return out.select("doc_id", "pixel_sum")
+    return out.select("doc_id", "pixel_sum", "error")
 
 
 def _sql_multimodal_resize() -> str:
+    # every doc yields a row: images a pixel sum, non-images a typed
+    # error row (round-3 fix — failures are rows, never absences)
     terms = []
     for y in range(3):
         for x in range(4):
@@ -1423,9 +1521,12 @@ def _sql_multimodal_resize() -> str:
 WITH img AS (
   SELECT doc_id, text,
          8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h, length(text) AS n
-  FROM documents WHERE doc_id % 3 = 0
+  FROM documents
 )
-SELECT doc_id, CAST({' + '.join(terms)} AS BIGINT) AS pixel_sum FROM img
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN {' + '.join(terms)} END AS BIGINT) AS pixel_sum,
+       CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'not an image' END AS error
+FROM img
 """
 
 
@@ -1447,7 +1548,12 @@ fr AS (
   SELECT doc_id, w, h, n, unnest(generate_series(0, nf - 1)) AS i FROM vid
 )
 SELECT doc_id, CAST(i AS INT) AS frame_idx,
-       CAST(ascii(substr(text, ((i * w * h) % n) + 1, 1)) AS INT) AS first_pixel
+       CAST(ascii(substr(text, ((i * w * h) % n) + 1, 1)) AS INT) AS first_pixel,
+       CAST(NULL AS VARCHAR) AS error
 FROM fr JOIN documents USING (doc_id)
 WHERE i % 10 = 0
+UNION ALL
+SELECT doc_id, CAST(NULL AS INT) AS frame_idx, CAST(NULL AS INT) AS first_pixel,
+       'not a video' AS error
+FROM documents WHERE doc_id % 3 <> 2
 """

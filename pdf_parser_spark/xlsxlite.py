@@ -95,11 +95,19 @@ def read_sheet(path: str, sheet_name: str) -> List[List[Optional[object]]]:
 
     rows: dict = {}
     max_col = -1
+    # running (row, col) cursor: ECMA-376 makes r= optional — an
+    # unnumbered row is "previous row + 1" and an unnumbered cell is
+    # "previous cell + 1", regardless of whether values were non-empty
+    last_r = -1
     for row in root.iter(f"{_NS}row"):
-        r = int(row.get("r", len(rows) + 1)) - 1
+        rref = row.get("r")
+        r = int(rref) - 1 if rref else last_r + 1
+        last_r = r
+        last_j = -1
         for c in row.iter(f"{_NS}c"):
             ref = c.get("r")
-            j = _col_index(ref) if ref else 0
+            j = _col_index(ref) if ref else last_j + 1
+            last_j = j
             val = _cell_value(c, shared)
             if val is not None:
                 rows.setdefault(r, {})[j] = val

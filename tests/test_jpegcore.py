@@ -1,0 +1,167 @@
+"""Pure-stdlib+numpy baseline JPEG codec: round trips (exact for flat
+blocks at quant=1, bounded error otherwise), subsampling, restart
+markers, typed errors, and the multimodal integration."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from pdf_parser_spark import multimodal as mm
+from pdf_parser_spark.jpegcore import (
+    ZIGZAG,
+    JpegError,
+    decode_jpeg,
+    encode_jpeg,
+    parse_jpeg_header,
+)
+
+# literal T.81 zigzag table, transcribed independently of the diagonal-
+# walk generator in jpegcore — two derivations must agree exactly
+_ZIGZAG_LITERAL = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def test_zigzag_matches_literal_table():
+    assert ZIGZAG == _ZIGZAG_LITERAL
+
+
+def _flat_block_image(values, wb, hb):
+    px = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+    for i, v in enumerate(values):
+        by, bx = divmod(i, wb)
+        px[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = v
+    return px
+
+
+def test_flat_blocks_roundtrip_exact():
+    """Constant 8x8 blocks + all-ones quant → byte-identical decode
+    (the invariant the jpeg_roundtrip oracle derives sums from)."""
+    px = _flat_block_image([7, 200, 33, 128, 255, 0], wb=3, hb=2)
+    blob = encode_jpeg(24, 16, px.tobytes(), channels=1)
+    img = decode_jpeg(blob)
+    assert (img["width"], img["height"], img["channels"]) == (24, 16, 1)
+    assert img["pixels"] == px.tobytes()
+
+
+def test_flat_blocks_with_restart_markers_exact():
+    px = _flat_block_image(list(range(0, 240, 20)), wb=4, hb=3)
+    for ri in (1, 2, 5):
+        blob = encode_jpeg(32, 24, px.tobytes(), channels=1, restart_interval=ri)
+        assert struct.pack(">H", ri) in blob  # DRI present
+        assert decode_jpeg(blob)["pixels"] == px.tobytes()
+
+
+def test_gradient_roundtrip_exact_at_unit_quant():
+    g = np.arange(32 * 24, dtype=np.uint8).reshape(24, 32)
+    dec = decode_jpeg(encode_jpeg(32, 24, g.tobytes(), channels=1))
+    assert dec["pixels"] == g.tobytes()
+
+
+def test_odd_dimensions_edge_padding():
+    g = (np.arange(13 * 11) * 3 % 256).astype(np.uint8).reshape(11, 13)
+    img = decode_jpeg(encode_jpeg(13, 11, g.tobytes(), channels=1))
+    assert (img["width"], img["height"]) == (13, 11)
+    assert img["pixels"] == g.tobytes()
+
+
+def test_noise_bounded_error_with_real_quant():
+    rng = np.random.default_rng(42)
+    noise = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    blob = encode_jpeg(56, 40, noise.tobytes(), channels=1, quant_luma=[16] * 64)
+    dec = np.frombuffer(decode_jpeg(blob)["pixels"], dtype=np.uint8).reshape(40, 56)
+    err = np.abs(dec.astype(int) - noise.astype(int))
+    # quantization step 16 bounds per-coefficient error by 8; the IDCT
+    # spreads it — generous structural bound, tight mean bound
+    assert err.max() <= 40 and err.mean() < 8
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_color_roundtrip_small_error(subsampling):
+    rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+    rgb[:8, :, :] = [200, 30, 90]
+    rgb[8:, :, :] = [10, 250, 128]
+    blob = encode_jpeg(16, 16, rgb.tobytes(), channels=3, subsampling=subsampling)
+    img = decode_jpeg(blob)
+    assert img["channels"] == 3
+    dec = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(16, 16, 3)
+    # flat 8x8 (and 16x16 chroma) regions: only YCbCr round-trip
+    # rounding survives — off by at most 1 count per channel
+    assert np.max(np.abs(dec.astype(int) - rgb.astype(int))) <= 1
+
+
+def test_color_420_subsampled_frame_header():
+    rgb = np.full((16, 24, 3), 77, dtype=np.uint8)
+    blob = encode_jpeg(24, 16, rgb.tobytes(), channels=3, subsampling="420")
+    assert parse_jpeg_header(blob) == {"width": 24, "height": 16, "channels": 3}
+    img = decode_jpeg(blob)
+    dec = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(16, 24, 3)
+    assert np.max(np.abs(dec.astype(int) - 77)) <= 1
+
+
+def test_typed_errors():
+    cases = [
+        (b"\x00\x01", "not_jpeg"),
+        (b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9), "unsupported_sof"),  # progressive
+        (b"\xff\xd8\xff\xc3\x00\x0b" + bytes(9), "unsupported_sof"),  # lossless
+        (b"\xff\xd8\xff\xc9\x00\x0b" + bytes(9), "unsupported_sof"),  # arithmetic
+        (b"\xff\xd8\xff\xe0\xff\xff" + bytes(4), "truncated"),
+    ]
+    for blob, code in cases:
+        with pytest.raises(JpegError) as ei:
+            decode_jpeg(blob)
+        assert ei.value.code == code
+    # 12-bit precision frame
+    sof12 = b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xC0, 11) + struct.pack(
+        ">BHHB", 12, 8, 8, 1
+    ) + bytes(3)
+    with pytest.raises(JpegError) as ei:
+        decode_jpeg(sof12)
+    assert ei.value.code == "precision"
+
+
+def test_truncated_entropy_data():
+    px = _flat_block_image([100, 50], wb=2, hb=1)
+    blob = encode_jpeg(16, 8, px.tobytes(), channels=1)
+    with pytest.raises(JpegError):
+        decode_jpeg(blob[: len(blob) - 12])
+
+
+def test_multimodal_integration():
+    px = _flat_block_image([10, 60, 110, 160], wb=2, hb=2)
+    blob = encode_jpeg(16, 16, px.tobytes(), channels=1)
+    meta = mm.decode_media(blob)
+    assert meta["kind"] == "image"
+    assert (meta["width"], meta["height"], meta["channels"]) == (16, 16, 1)
+    thumb = mm.resize_image(blob, 2, 2)  # JPEG in → PNG thumb out
+    # nearest-neighbor 2x2 picks the top-left pixel of each block row/col
+    assert mm.thumb_pixel_sum(thumb) == 10 + 60 + 110 + 160
+
+
+def test_spark_stage_mixed_jpeg_png(spark):
+    from pdf_parser_spark.pngcore import encode_png
+
+    jb = encode_jpeg(16, 8, _flat_block_image([5, 250], 2, 1).tobytes(), channels=1)
+    pb = encode_png(4, 3, bytes(range(36)), color_type=2)
+    df = spark.createDataFrame(
+        [(1, jb), (2, pb), (3, b"\xff\xd8\xffbad!")],
+        "doc_id long, media binary",
+    )
+    got = {r["doc_id"]: r for r in mm.media_metadata(df).collect()}
+    assert got[1]["kind"] == "image" and got[1]["error"] is None
+    assert got[1]["width"] == 16 and got[1]["channels"] == 1
+    assert got[2]["kind"] == "image" and got[2]["width"] == 4
+    assert got[3]["error"] is not None
+    thumbs = {r["doc_id"]: r for r in mm.resized_thumbnails(df, 2, 2).collect()}
+    assert thumbs[1]["error"] is None and thumbs[1]["pixel_sum"] == 2 * (5 + 250)
+    assert thumbs[3]["thumb"] is None and thumbs[3]["error"] is not None

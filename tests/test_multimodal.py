@@ -9,11 +9,14 @@ from pdf_parser_spark import multimodal as mm
 
 
 def test_real_formats_are_gated():
-    # PNG is no longer gated (pngcore decodes it for real); the other
-    # real formats still raise the install-me stub
-    for magic in (b"\xff\xd8\xff\xe0--", b"RIFF1234AVI "):
-        with pytest.raises(NotImplementedError, match="install"):
-            mm.decode_media(magic + b"\x00" * 20)
+    # PNG (round 2) and JPEG (round 3) decode for real; only AVI-style
+    # RIFF still raises the install-me stub
+    with pytest.raises(NotImplementedError, match="install"):
+        mm.decode_media(b"RIFF1234AVI " + b"\x00" * 20)
+    from pdf_parser_spark.jpegcore import JpegError
+
+    with pytest.raises(JpegError):  # JPEG sig + garbage → typed error
+        mm.decode_media(b"\xff\xd8\xff\xe0--" + b"\x00" * 20)
     with pytest.raises(ValueError, match="corrupt WAV"):  # WAVE is real now
         mm.decode_media(b"RIFF1234WAVE" + b"\x00" * 20)
     from pdf_parser_spark.pngcore import PngError
@@ -63,14 +66,14 @@ def test_frame_sampling():
 def test_spark_stage_error_rows(spark):
     rows = [
         (1, mm.encode_fake(0, 4, 4, 1, b"abcd")),
-        (2, b"\xff\xd8\xffJPEG"),          # gated codec → error row
+        (2, b"\xff\xd8\xffJPEG"),          # corrupt JPEG → error row
         (3, b"garbage-bytes"),
         (4, b"\x89PNG\r\n\x1a\n" + b"\x00" * 4),  # corrupt PNG → error row
     ]
     df = spark.createDataFrame(rows, "doc_id long, media binary")
     got = {r["doc_id"]: r for r in mm.media_metadata(df).collect()}
     assert got[1]["kind"] == "image" and got[1]["error"] is None
-    assert "install" in got[2]["error"]
+    assert "overruns" in got[2]["error"]  # corrupt JPEG → typed error row
     assert "unknown media container" in got[3]["error"]
     assert "IHDR" in got[4]["error"]
 

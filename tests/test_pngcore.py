@@ -89,8 +89,11 @@ def test_multimodal_decodes_real_png():
     timg = decode_png(thumb)
     assert (timg["width"], timg["height"]) == (4, 2)
     assert mm.thumb_pixel_sum(thumb) == sum(timg["pixels"])
-    # JPEG stays gated
-    with pytest.raises(NotImplementedError):
+    # JPEG is real as of round 3: garbage after the signature is a
+    # typed JpegError, not an install-me stub
+    from pdf_parser_spark.jpegcore import JpegError
+
+    with pytest.raises(JpegError):
         mm.decode_media(b"\xff\xd8\xff\xe0rest")
 
 
@@ -99,14 +102,21 @@ def test_multimodal_spark_stage_on_real_pngs(spark):
     for i in range(6):
         px = _pixels(4 + i, 3, 3)
         rows.append((i, encode_png(4 + i, 3, px, color_type=2)))
-    rows.append((99, b"\xff\xd8\xffJPEG-ish"))  # gated format → error row
+    rows.append((99, b"\xff\xd8\xffJPEG-ish"))  # corrupt JPEG → error row
     df = spark.createDataFrame(rows, "doc_id long, media binary")
     out = {r["doc_id"]: r for r in mm.media_metadata(df).collect()}
     for i in range(6):
         assert out[i]["kind"] == "image" and out[i]["width"] == 4 + i
         assert out[i]["error"] is None
-    assert out[99]["error"] is not None and "JPEG" in out[99]["error"]
+    assert out[99]["error"] is not None and "overruns" in out[99]["error"]
     thumbs = {r["doc_id"]: r for r in mm.resized_thumbnails(df, 2, 2).collect()}
-    assert set(thumbs) == set(range(6))  # JPEG row skipped, PNGs resized
+    # round-3 semantics: NO row disappears — the undecodable doc yields
+    # a typed error row (null payload), the PNGs resize for real
+    assert set(thumbs) == set(range(6)) | {99}
+    assert thumbs[99]["thumb"] is None and thumbs[99]["error"] is not None
     for i in range(6):
+        assert thumbs[i]["error"] is None
         assert thumbs[i]["pixel_sum"] == sum(decode_png(bytes(thumbs[i]["thumb"]))["pixels"])
+    metrics = mm.media_stage_metrics(mm.resized_thumbnails(df, 2, 2))
+    agg = metrics.groupBy().sum("docs", "failures").collect()[0]
+    assert (agg[0], agg[1]) == (7, 1)
