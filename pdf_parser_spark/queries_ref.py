@@ -562,7 +562,10 @@ FROM sel
 # ----------------------------------------------------------------------
 # D12: legacy simplified schedule modes
 # ----------------------------------------------------------------------
-def _legacy_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _legacy_inputs(spark: SparkSession, sf_dir: str, api_form: bool = False) -> DataFrame:
+    """``api_form=True`` = the /quote/document building value
+    (service/api.py:77: capex added UNCONDITIONALLY); default = the
+    engine form (engine/quote_calc.py:185: capex gated on 'Yes')."""
     o = _read(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 == 4)
     k = F.col("o_orderkey")
     df = o.select(
@@ -581,7 +584,8 @@ def _legacy_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         dep.legacy_building_value(
             F.col("purchase_price"), F.col("land_value"), F.col("known_land_value"),
-            F.col("capex_amount"), capex_yes=F.col("capex"),
+            F.col("capex_amount"),
+            capex_yes=None if api_form else F.col("capex"),
         ).alias("building_value"),
     )
 
@@ -590,7 +594,7 @@ _LEGACY_BV_SQL = """
   SELECT o_orderkey,
          pp - (CASE WHEN known THEN lraw
                     ELSE pp * (CASE WHEN lraw > 1.0 THEN lraw / 100.0 ELSE lraw END) END)
-            + (CASE WHEN cx_yes THEN cxa ELSE CAST(0.0 AS DOUBLE) END) AS bv,
+            + {capex_term} AS bv,
          ptype
   FROM (
     SELECT o_orderkey,
@@ -605,6 +609,13 @@ _LEGACY_BV_SQL = """
     FROM orders WHERE o_orderkey % 9 = 4
   )
 """.replace("{ptype}", _PTYPE_SQL)
+
+# engine form: capex gated on the 'Yes' flag (engine/quote_calc.py:185)
+_LEGACY_BV_ENGINE = _LEGACY_BV_SQL.replace(
+    "{capex_term}", "(CASE WHEN cx_yes THEN cxa ELSE CAST(0.0 AS DOUBLE) END)"
+)
+# api form: capex added unconditionally (service/api.py:77)
+_LEGACY_BV_API = _LEGACY_BV_SQL.replace("{capex_term}", "cxa")
 
 
 def q_depr_legacy_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,7 +651,7 @@ def _sql_depr_legacy_v1() -> str:
     trad = f"({trad5} + {trad15} + {tradb})"
     bonus = f"(CASE WHEN year = 1 THEN {five} + {fifteen} + {tradb} ELSE {tradb} END)"
     return f"""
-WITH bvt AS ({_LEGACY_BV_SQL}),
+WITH bvt AS ({_LEGACY_BV_ENGINE}),
 per AS (
   SELECT o_orderkey, bv, (CASE {arms} ELSE {fl(27.5)} END) AS dy FROM bvt
 ),
@@ -658,8 +669,13 @@ FROM yrs
 
 def q_depr_legacy_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D12 legacy mode 2 (service/api.py:83-116): 80% bonus year 1,
-    remaining 20% over years 2-27, fixed 27.5-year standard line."""
-    out = dep.legacy_schedule(_legacy_inputs(spark, sf_dir), variant="legacy_v2", rounding="half_up")
+    remaining 20% over years 2-27, fixed 27.5-year standard line.
+    Building value is the API form — capex added unconditionally
+    (service/api.py:77), a fork from the engine form the round-2
+    transcription oracle masked (ref-exec oracle caught it, round 3)."""
+    out = dep.legacy_schedule(
+        _legacy_inputs(spark, sf_dir, api_form=True), variant="legacy_v2", rounding="half_up"
+    )
     return out.select(
         "o_orderkey", "year", "cost_seg_est", "std_dep", "trad_cost_seg", "bonus_dep"
     )
@@ -673,7 +689,7 @@ def _sql_depr_legacy_v2() -> str:
     y1_trad = f"({r2(f'bv * {fl(0.2)} / {fl(27.5)}')} + {r2(f'bv * {fl(0.8)} / {fl(5.0)}')})"
     annual = r2(f"bv * {fl(0.2)} / {fl(27.0)}")
     return f"""
-WITH bvt AS ({_LEGACY_BV_SQL}),
+WITH bvt AS ({_LEGACY_BV_API}),
 yrs AS (SELECT *, unnest(generate_series(1, 27)) AS year FROM bvt)
 SELECT o_orderkey, CAST(year AS INT) AS year,
        (CASE WHEN year = 1 THEN {y1_bonus} ELSE {annual} END) AS cost_seg_est,
