@@ -53,6 +53,7 @@ AUDIT_SCHEMA = StructType(
         StructField("bytes", LongType()),
         StructField("failures", LongType()),
         StructField("decode_fallbacks", LongType()),
+        StructField("decrypted_docs", LongType()),
         StructField("pdf_docs", LongType()),
         StructField("html_docs", LongType()),
         StructField("committed_at", TimestampType()),
@@ -78,6 +79,9 @@ def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
             F.sum("n_bytes").alias("bytes"),
             F.sum(F.col("error_code").isNotNull().cast("long")).alias("failures"),
             F.sum("decode_fallbacks").alias("decode_fallbacks"),
+            F.sum(F.coalesce(F.col("decrypted"), F.lit(False)).cast("long")).alias(
+                "decrypted_docs"
+            ),
             F.sum((F.col("doc_type") == "pdf").cast("long")).alias("pdf_docs"),
             F.sum((F.col("doc_type") == "html").cast("long")).alias("html_docs"),
         )
@@ -88,6 +92,7 @@ def partition_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
             "bytes",
             "failures",
             "decode_fallbacks",
+            "decrypted_docs",
             "pdf_docs",
             "html_docs",
             F.current_timestamp().alias("committed_at"),
@@ -120,7 +125,8 @@ def _bucket_markers(spark: SparkSession, run_id: str, buckets: List[int]) -> Dat
         F.lit(run_id).alias("run_id"),
         F.lit(-1).alias("partition_id"),
         *[F.lit(0).cast("long").alias(c) for c in
-          ("docs", "bytes", "failures", "decode_fallbacks", "pdf_docs", "html_docs")],
+          ("docs", "bytes", "failures", "decode_fallbacks", "decrypted_docs",
+           "pdf_docs", "html_docs")],
         F.current_timestamp().alias("committed_at"),
         F.col("bucket"),
     )

@@ -51,7 +51,8 @@ def sniff_doc_type(blob: Optional[bytes]) -> str:
     return "unknown"
 
 
-def _extract_one(blob: Optional[bytes], mode: str, want_text: bool = True) -> dict:
+def _extract_one(blob: Optional[bytes], mode: str, want_text: bool = True,
+                 rc4_decrypt: bool = False) -> dict:
     """Extract a single document. Never raises.
 
     ``want_text=False`` skips assembling the heavy output fields
@@ -70,10 +71,11 @@ def _extract_one(blob: Optional[bytes], mode: str, want_text: bool = True) -> di
         "error_message": None,
         "decode_fallbacks": 0,
         "n_bytes": len(blob) if blob else 0,
+        "decrypted": False,
     }
     if out["doc_type"] == "pdf":
         try:
-            doc = parse_pdf(blob)
+            doc = parse_pdf(blob, rc4_decrypt=rc4_decrypt)
         except PdfError as e:
             out["error_code"] = e.code
             out["error_message"] = str(e)[:500]
@@ -84,6 +86,7 @@ def _extract_one(blob: Optional[bytes], mode: str, want_text: bool = True) -> di
             return out
         out["n_pages"] = doc.num_pages
         out["decode_fallbacks"] = doc.decode_fallbacks
+        out["decrypted"] = doc.decrypted
         if not want_text:
             out["n_items"] = sum(len(p.items) for p in doc.pages)
             return out
@@ -146,7 +149,7 @@ _META_COLS = [c for c in _OUT_COLS if c not in _HEAVY_COLS]
 META_SCHEMA = StructType([f for f in EXTRACT_SCHEMA.fields if f.name in _META_COLS])
 
 
-def _make_mapper(mode: str, want_text: bool = True):
+def _make_mapper(mode: str, want_text: bool = True, rc4_decrypt: bool = False):
     out_cols = _OUT_COLS if want_text else _META_COLS
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -162,7 +165,8 @@ def _make_mapper(mode: str, want_text: bool = True):
                 pdf_batch["lang"].tolist(),
             ):
                 rec = _extract_one(
-                    bytes(blob) if blob is not None else None, mode, want_text
+                    bytes(blob) if blob is not None else None, mode, want_text,
+                    rc4_decrypt=rc4_decrypt,
                 )
                 rec["url"] = url
                 rec["warc_ts"] = warc_ts
@@ -175,7 +179,8 @@ def _make_mapper(mode: str, want_text: bool = True):
 
 
 def extract_documents(
-    pages: DataFrame, mode: str = "first_valid", output: str = "full"
+    pages: DataFrame, mode: str = "first_valid", output: str = "full",
+    rc4_decrypt: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → EXTRACT_SCHEMA DataFrame.
 
@@ -195,8 +200,13 @@ def extract_documents(
     """
     needed = pages.select("url", "warc_ts", "html", "lang")
     if output == "meta":
-        return needed.mapInPandas(_make_mapper(mode, want_text=False), schema=META_SCHEMA)
-    return needed.mapInPandas(_make_mapper(mode), schema=EXTRACT_SCHEMA)
+        return needed.mapInPandas(
+            _make_mapper(mode, want_text=False, rc4_decrypt=rc4_decrypt),
+            schema=META_SCHEMA,
+        )
+    return needed.mapInPandas(
+        _make_mapper(mode, rc4_decrypt=rc4_decrypt), schema=EXTRACT_SCHEMA
+    )
 
 
 def salted(pages: DataFrame, parallelism: int, factor: int = 2) -> DataFrame:

@@ -56,9 +56,11 @@ class PdfDocument:
     (xref reconstruction, undecodable page streams) for the audit table.
     """
 
-    def __init__(self, pages: List[PdfPage], decode_fallbacks: int):
+    def __init__(self, pages: List[PdfPage], decode_fallbacks: int,
+                 decrypted: bool = False):
         self.pages = pages
         self.decode_fallbacks = decode_fallbacks
+        self.decrypted = decrypted  # RC4 standard-handler decrypt used
 
     @property
     def num_pages(self) -> int:
@@ -151,13 +153,20 @@ def _page_content_bytes(store: ObjectStore, page: dict) -> bytes:
     return b"\n".join(parts)
 
 
-def parse_pdf(data: bytes) -> PdfDocument:
+def parse_pdf(data: bytes, rc4_decrypt: bool = False) -> PdfDocument:
     """Parse PDF bytes into pages of positioned text items.
 
     Raises :class:`PdfError` with a stable ``code`` on unrecoverable
     failures; page-level decode errors are tolerated and counted
     (mirroring the page-loop ``continue`` of
     ``src/services/pdfParser/index.ts:65-68``).
+
+    ``rc4_decrypt=True`` additionally opens documents protected by the
+    ISO 32000-1 §7.6 STANDARD security handler with RC4 (V1/V2, R2/R3)
+    and an EMPTY user password — the common owner-restricted case in
+    crawled corpora (the reference gets this from vendored pdf.js).
+    The default keeps the round-2 behavior: every /Encrypt document is
+    a typed ``encrypted`` error row.
     """
     if not data:
         raise PdfError("empty", "empty or invalid PDF file")
@@ -171,14 +180,33 @@ def parse_pdf(data: bytes) -> PdfDocument:
         raise PdfError("bad_xref", f"cannot build xref: {e}") from None
 
     # encrypted documents: /Encrypt in the trailer (ISO 32000-1 §7.6).
-    # RC4/AES content decryption is out of scope (the reference gets it
-    # via vendored pdf.js); a typed row beats a misleading 'internal' —
-    # real Common-Crawl-style corpora contain encrypted PDFs. Presence
-    # check only: the Encrypt ref is NOT resolved (it may dangle).
-    if store.trailer.get("Encrypt") is not None:
-        raise PdfError(
-            "encrypted", "document has an /Encrypt dictionary (decryption unsupported)"
-        )
+    # Without the flag (or outside the RC4/empty-password envelope) a
+    # typed row beats a misleading 'internal' — real Common-Crawl-style
+    # corpora contain encrypted PDFs.
+    decrypted = False
+    encrypt_ref = store.trailer.get("Encrypt")
+    if encrypt_ref is not None:
+        if not rc4_decrypt:
+            raise PdfError(
+                "encrypted", "document has an /Encrypt dictionary (decryption unsupported)"
+            )
+        from .crypt import CryptError, build_handler
+        from .lexer import Ref as _Ref
+
+        try:
+            enc = store.resolve(encrypt_ref)
+            if not isinstance(enc, dict):
+                raise CryptError("encrypt_dict", "/Encrypt is not a dictionary")
+            handler = build_handler(enc, store.trailer.get("ID"))
+        except CryptError as e:
+            raise PdfError(
+                "encrypted", f"unsupported encryption ({e.code}): {e}"
+            ) from None
+        except (XrefError, LexError, ValueError) as e:
+            raise PdfError("encrypted", f"broken /Encrypt dictionary: {e}") from None
+        skip = (encrypt_ref.num,) if isinstance(encrypt_ref, _Ref) else ()
+        store.attach_crypt(handler, skip_nums=skip)
+        decrypted = True
 
     fallbacks = 1 if store.used_fallback else 0
 
@@ -201,4 +229,4 @@ def parse_pdf(data: bytes) -> PdfDocument:
             pages.append(PdfPage(i, []))  # degraded page, kept for indexing
     if not pages:
         raise PdfError("no_pages", "the PDF file appears to be empty")
-    return PdfDocument(pages, fallbacks)
+    return PdfDocument(pages, fallbacks, decrypted=decrypted)

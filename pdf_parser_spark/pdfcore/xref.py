@@ -46,7 +46,19 @@ class ObjectStore:
         self._cache: Dict[int, Any] = {}
         self._objstm_cache: Dict[int, list] = {}
         self.used_fallback = False
+        self.crypt = None  # StandardSecurityHandler via attach_crypt()
+        self._crypt_skip: set = set()
         self._build()
+
+    def attach_crypt(self, handler, skip_nums=()) -> None:
+        """Enable per-object RC4 decryption (ISO 32000-1 §7.6). Clears
+        the object caches — anything loaded pre-attach was undecrypted.
+        ``skip_nums``: object numbers left untouched (the /Encrypt
+        dictionary itself — its /O and /U strings are plaintext)."""
+        self.crypt = handler
+        self._crypt_skip = set(skip_nums)
+        self._cache.clear()
+        self._objstm_cache.clear()
 
     # ------------------------------------------------------------------
     # xref construction
@@ -231,6 +243,12 @@ class ObjectStore:
                     real = self.resolve(length)
                     if isinstance(real, int):
                         val = StreamObj(val.dict, val.raw[:real])
+            if self.crypt is not None and num not in self._crypt_skip:
+                # §7.6.2: streams and strings of directly-stored objects
+                # are RC4-encrypted under the per-object key. Objects
+                # inside ObjStm are NOT individually encrypted (the
+                # container stream was) — hence only this 'n' branch.
+                val = _decrypt_object(val, num, ogen, self.crypt)
         else:  # compressed in object stream
             val = self._get_from_objstm(entry[1], entry[2])
         self._cache[num] = val
@@ -280,3 +298,20 @@ class ObjectStore:
         if not isinstance(root, dict):
             raise XrefError("catalog missing")
         return root
+
+
+def _decrypt_object(obj: Any, num: int, gen: int, crypt) -> Any:
+    """Recursively decrypt the strings (bytes) and stream body of one
+    directly-stored object under its per-object RC4 key."""
+    if isinstance(obj, bytes):
+        return crypt.decrypt(num, gen, obj)
+    if isinstance(obj, list):
+        return [_decrypt_object(x, num, gen, crypt) for x in obj]
+    if isinstance(obj, dict):
+        return {k: _decrypt_object(v, num, gen, crypt) for k, v in obj.items()}
+    if isinstance(obj, StreamObj):
+        return StreamObj(
+            _decrypt_object(obj.dict, num, gen, crypt),
+            crypt.decrypt(num, gen, obj.raw),
+        )
+    return obj

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -70,6 +71,9 @@ EXTRACT_SCHEMA = StructType(
         StructField("error_message", StringType(), True),
         StructField("decode_fallbacks", IntegerType(), True),
         StructField("n_bytes", LongType(), True),
+        # True when the doc was opened via the RC4 standard-security
+        # handler (empty user password) — counted separately in audit
+        StructField("decrypted", BooleanType(), True),
     ]
 )
 

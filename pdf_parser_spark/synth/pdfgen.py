@@ -150,9 +150,14 @@ class PageBuilder:
 class PdfBuilder:
     """Assembles objects into a full PDF file."""
 
-    def __init__(self, compress: bool = False, xref_stream: bool = False):
+    def __init__(self, compress: bool = False, xref_stream: bool = False,
+                 encrypt_rc4: Optional[dict] = None):
         self.compress = compress
         self.xref_stream = xref_stream
+        # encrypt_rc4: e.g. {'r': 3, 'length': 128} — synthesize a
+        # standard-security-handler document (empty user password) so
+        # the pdfcore RC4 decrypt path has real fixtures to chew on
+        self.encrypt_rc4 = encrypt_rc4
         self.objects: List[Optional[bytes]] = [None]  # 1-based numbering
         self.pages: List[PageBuilder] = []
 
@@ -231,6 +236,47 @@ end""".encode()
         )
         catalog_id = self._add(f"<< /Type /Catalog /Pages {pages_id} 0 R >>".encode())
 
+        enc_id = None
+        extra_trailer = ""
+        if self.encrypt_rc4:
+            import hashlib as _hl
+
+            from ..pdfcore.crypt import StandardSecurityHandler, make_encrypt_params
+
+            r = int(self.encrypt_rc4.get("r", 3))
+            bits = int(self.encrypt_rc4.get("length", 128 if r >= 3 else 40))
+            id0 = _hl.md5(b"pdfgen-fixture-" + str(len(self.objects)).encode()).digest()
+            o, u, _key = make_encrypt_params(r, bits, id0)
+            v = 1 if bits == 40 else 2
+            enc_id = self._add(
+                (
+                    f"<< /Filter /Standard /V {v} /R {r} /Length {bits} "
+                    f"/O <{o.hex()}> /U <{u.hex()}> /P -44 >>"
+                ).encode()
+            )
+            handler = StandardSecurityHandler(
+                {"Filter": "Standard", "V": v, "R": r, "Length": bits,
+                 "O": o, "U": u, "P": -44},
+                id0,
+            )
+            # RC4 every stream payload under its per-object key (the
+            # Encrypt dict itself and the xref stream stay plaintext);
+            # RC4 preserves length so /Length stays valid
+            for num, body in enumerate(self.objects):
+                if num == 0 or body is None or num == enc_id:
+                    continue
+                i = body.find(b"\nstream\n")
+                if i < 0:
+                    continue
+                j = body.rfind(b"\nendstream")
+                payload = body[i + 8 : j]
+                self.objects[num] = (
+                    body[: i + 8] + handler.encrypt(num, 0, payload) + body[j:]
+                )
+            extra_trailer = (
+                f" /Encrypt {enc_id} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]"
+            )
+
         out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n" if self.xref_stream else b"%PDF-1.4\n")
         offsets: Dict[int, int] = {}
         for num, body in enumerate(self.objects):
@@ -254,7 +300,7 @@ end""".encode()
             data = zlib.compress(bytes(rows))
             head = (
                 f"<< /Type /XRef /Size {size} /W [{widths[0]} {widths[1]} {widths[2]}] "
-                f"/Root {catalog_id} 0 R /Filter /FlateDecode /Length {len(data)} >>"
+                f"/Root {catalog_id} 0 R{extra_trailer} /Filter /FlateDecode /Length {len(data)} >>"
             ).encode()
             out += f"{xref_id} 0 obj\n".encode() + head + b"\nstream\n" + data
             out += b"\nendstream\nendobj\n"
@@ -267,7 +313,7 @@ end""".encode()
             for num in range(1, size):
                 out += f"{offsets[num]:010d} 00000 n \n".encode()
             out += (
-                f"trailer\n<< /Size {size} /Root {catalog_id} 0 R >>\n"
+                f"trailer\n<< /Size {size} /Root {catalog_id} 0 R{extra_trailer} >>\n"
                 f"startxref\n{xref_off}\n%%EOF\n"
             ).encode()
         return bytes(out)

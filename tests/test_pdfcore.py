@@ -281,3 +281,83 @@ def test_encrypted_pdf_xref_stream_layout():
         parse_pdf(enc)
     assert ei.value.code == "encrypted"
     assert parse_pdf(pdf).pages[0].text() == "secret in stream layout"
+
+
+@pytest.mark.parametrize("r,bits,compress,xs", [
+    (3, 128, True, False),   # RC4-128, classic xref, flate streams
+    (2, 40, False, False),   # RC4-40 revision 2, raw streams
+    (3, 40, True, True),     # RC4-40 revision 3, xref-stream layout
+])
+def test_rc4_encrypted_pdf_decrypts_byte_identical(r, bits, compress, xs):
+    """ISO 32000-1 §7.6 standard handler, empty user password: behind
+    the flag the document decodes to byte-identical generator goldens;
+    the default path keeps the typed 'encrypted' row (round-2
+    contract). Goldens come from the generator, never from crypt.py."""
+    b = PdfBuilder(compress=compress, xref_stream=xs,
+                   encrypt_rc4={"r": r, "length": bits})
+    pg = b.new_page()
+    pg.text(72, 720, "secret rc4 text")
+    pg.white_text("Name_of_Prospect: Alice||Zip_Code: 85250")
+    pdf = b.build()
+    # ciphertext really differs from a plaintext build of the same doc
+    plain_builder = PdfBuilder(compress=compress, xref_stream=xs)
+    pp = plain_builder.new_page()
+    pp.text(72, 720, "secret rc4 text")
+    pp.white_text("Name_of_Prospect: Alice||Zip_Code: 85250")
+    assert pdf != plain_builder.build()
+    with pytest.raises(PdfError) as ei:
+        parse_pdf(pdf)  # default stays a typed error
+    assert ei.value.code == "encrypted"
+    doc = parse_pdf(pdf, rc4_decrypt=True)
+    assert doc.decrypted
+    assert doc.text() == b.golden_doc_text()
+    assert doc.pages[0].whitetext_metadata() == b.golden_whitetext()
+
+
+def test_rc4_unsupported_envelope_stays_typed_error():
+    """AES (V4) and wrong-password documents fall back to the typed
+    'encrypted' row even with the flag on."""
+    b = PdfBuilder(encrypt_rc4={"r": 3, "length": 128})
+    b.new_page().text(72, 720, "x")
+    pdf = b.build()
+    aes = pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    with pytest.raises(PdfError) as ei:
+        parse_pdf(aes, rc4_decrypt=True)
+    assert ei.value.code == "encrypted" and "V=4" in str(ei.value)
+    # corrupt /U → password check fails → typed error, not garbage text
+    import re
+    m = re.search(rb"/U <([0-9a-f]+)>", pdf)
+    bad_u = pdf.replace(m.group(1), m.group(1)[::-1])
+    with pytest.raises(PdfError) as ei:
+        parse_pdf(bad_u, rc4_decrypt=True)
+    assert ei.value.code == "encrypted" and "password" in str(ei.value)
+
+
+def test_rc4_extraction_stage_counts_decrypted(spark):
+    """extract_documents(rc4_decrypt=True): encrypted docs parse for
+    real and are counted separately in the audit metrics."""
+    from pdf_parser_spark import audit
+    from pdf_parser_spark.extract import extract_documents
+
+    b = PdfBuilder(compress=True, encrypt_rc4={"r": 3, "length": 128})
+    b.new_page().text(72, 720, "crawled restricted doc")
+    enc = b.build()
+    p = PdfBuilder()
+    p.new_page().text(72, 720, "plain doc")
+    rows = [("enc://1", None, enc, None, "en"), ("plain://2", None, p.build(), None, "en")]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp_ntz, html binary, text string, lang string"
+    )
+    got = {r["url"]: r for r in extract_documents(pages, rc4_decrypt=True).collect()}
+    assert got["enc://1"]["error_code"] is None
+    assert got["enc://1"]["text"] == "crawled restricted doc"
+    assert got["enc://1"]["decrypted"] is True
+    assert got["plain://2"]["decrypted"] is False
+    m = audit.partition_metrics(
+        audit.with_bucket(extract_documents(pages, rc4_decrypt=True), 4), "r-rc4"
+    ).collect()
+    assert sum(r["decrypted_docs"] for r in m) == 1
+    assert sum(r["failures"] for r in m) == 0
+    # default flag: the encrypted doc is still a typed error row
+    d = {r["url"]: r for r in extract_documents(pages).collect()}
+    assert d["enc://1"]["error_code"] == "encrypted"
