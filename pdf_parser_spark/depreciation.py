@@ -611,6 +611,41 @@ def capex_class_totals(pools: Column, target_year: Column, accumulated: bool = F
     return out
 
 
+def capex_total(pools: Column, target_year: Column, accumulated: bool = False) -> Column:
+    """``sum(capex_class_totals(...).values(), F.lit(0.0))`` as ONE
+    aggregate — bit-identical value, ~10× smaller plan.
+
+    The per-class form builds 5 ``filter``+``aggregate`` pairs whose
+    per-pool fn each embeds the full MACRS literal tables and class
+    dispatch; its ANALYSIS cost dominated `capex_481a` wall time (~10s
+    plan build at sf0.001, round-3 finding). Here the accumulator is a
+    5-slot array of per-class partial sums — each pool adds fn(p) to
+    exactly its class's slot (other slots pass through UNCHANGED, so
+    each slot's float association order is identical to the filtered
+    per-class fold), and the final left fold over the 5 slots matches
+    ``F.lit(0.0) + s_5yr + s_7yr + ...`` exactly."""
+    fn = _pool_acc_dep if accumulated else _pool_year_dep
+
+    def idx_of(p: Column) -> Column:
+        expr = None
+        for k, v in CAPEX_CLASS_MAP.items():
+            cond = p["classification"] == k
+            i = F.lit(CAPEX_CLASSES.index(v))
+            expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+        return expr.otherwise(F.lit(0))  # default 5yr (_pool_class)
+
+    zeros = F.array(*[F.lit(0.0) for _ in CAPEX_CLASSES])
+    per_class = F.aggregate(
+        pools,
+        zeros,
+        lambda acc, p: F.transform(
+            acc,
+            lambda x, i: F.when(i == idx_of(p), x + fn(p, target_year)).otherwise(x),
+        ),
+    )
+    return F.aggregate(per_class, F.lit(0.0), lambda a, x: a + x)
+
+
 def with_481a_capex(df: DataFrame, pools_col: str = "capex_items") -> DataFrame:
     """D6 CapEx-pool-aware 481(a) (`:622-690`): should-have adds pool
     accumulation through the PRIOR calendar year, current-year adds the
@@ -622,15 +657,13 @@ def with_481a_capex(df: DataFrame, pools_col: str = "capex_items") -> DataFrame:
 
     acc = accumulated_cols(ye, bonus)
     base_should = acc["acc_5yr"] + acc["acc_7yr"] + acc["acc_15yr"] + acc["acc_bldg"]
-    capex_acc = capex_class_totals(pools, tax_year - 1, accumulated=True)
-    should = base_should + sum(capex_acc.values(), F.lit(0.0))
+    should = base_should + capex_total(pools, tax_year - 1, accumulated=True)
 
     did_take = standard_depreciation(ye)
 
     cur = year_depreciation_cols(ye + 1, bonus)
     y1 = year_depreciation_cols(F.lit(1), bonus)
-    capex_cur = capex_class_totals(pools, tax_year, accumulated=False)
-    capex_cur_total = sum(capex_cur.values(), F.lit(0.0))
+    capex_cur_total = capex_total(pools, tax_year, accumulated=False)
     cur_total = cur["dep_5yr"] + cur["dep_7yr"] + cur["dep_15yr"] + cur["dep_bldg"] + capex_cur_total
     y1_total = y1["dep_5yr"] + y1["dep_7yr"] + y1["dep_15yr"] + y1["dep_bldg"] + capex_cur_total
 
