@@ -15,6 +15,9 @@ metrics, so BENCH_r{N}.json and BASELINE.md can never disagree again):
 - ``extraction_docs_per_sec``  the FULL pipeline (parse + record
   extraction + validation) — the number a user gets end to end.
 
+Round 3: the per-query section times EVERY ``queries()`` entry (60),
+not a 22-query subset — plan-construction blowups now show up here.
+
 Timing: one warm-up, then best-of-2 per job — this box is a noisy
 shared-host VM (wall time fluctuates 3x run-to-run; BASELINE.md §Box
 noise), and best-of-N measures the code, not the neighbors.
@@ -108,32 +111,13 @@ def main() -> None:
     )
     queries["extraction_parse_only"] = round(t_parse, 3)
 
-    # engine + training-data headliners at SF_DIR
+    # EVERY __spark_entry__ query at SF_DIR (round 3: full coverage —
+    # the 22-query subset let a capex_481a plan-build blowup go
+    # unbenched for a round). Deterministic order for diffable JSON.
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    for name in [
-        "pricing_v1",
-        "pricing_engine_quote",
-        "depr_481a",
-        "depr_schedule",
-        "depr_legacy_v1",
-        "lineitem_agg",
-        "nation_revenue_topk",
-        "window_cumsum",
-        "events_hour_window",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "language_id",
-        "quality_score",
-        "token_counts",
-        "corpus_select",
-        "pii_redaction",
-        "ann_cosine_topk",
-        "ann_rp_lsh",
-        "embedding_near_dups",
-    ]:
+    for name in sorted(qs):
         queries[name] = round(best_of(lambda q=qs[name]: q(spark, SF_DIR)), 3)
 
     total = round(sum(queries.values()), 3)

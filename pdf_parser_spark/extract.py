@@ -90,8 +90,9 @@ def _extract_one(blob: Optional[bytes], mode: str, want_text: bool = True,
         if not want_text:
             out["n_items"] = sum(len(p.items) for p in doc.pages)
             return out
-        # doc text + per-item spans (character offsets into doc text)
-        spans: List[dict] = []
+        # doc text + per-item spans (character offsets into doc text),
+        # PACKED [s0,e0,s1,e1,...] — see schema.SPAN_ARRAY_TYPE
+        spans: List[int] = []
         parts: List[str] = []
         offset = 0
         n_items = 0
@@ -99,9 +100,11 @@ def _extract_one(blob: Optional[bytes], mode: str, want_text: bool = True,
             for it in page.items:
                 if parts:
                     offset += 1  # '\n' between items, '\f' between pages
-                spans.append({"start": offset, "end": offset + len(it.str)})
+                end = offset + len(it.str)
+                spans.append(offset)
+                spans.append(end)
                 parts.append(it.str)
-                offset += len(it.str)
+                offset = end
                 n_items += 1
         # reassemble with the same separators as PdfDocument.text()
         text_parts: List[str] = []
@@ -132,7 +135,7 @@ def _extract_one(blob: Optional[bytes], mode: str, want_text: bool = True,
             out["n_pages"] = 1
             if want_text:
                 out["text"] = text
-                out["spans"] = [{"start": s, "end": e} for s, e in spans]
+                out["spans"] = [x for pair in spans for x in pair]
         except Exception as e:  # noqa: BLE001
             out["error_code"] = "html_error"
             out["error_message"] = f"{type(e).__name__}: {e}"[:500]

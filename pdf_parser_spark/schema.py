@@ -43,12 +43,13 @@ TEXT_ITEM_TYPE = StructType(
     ]
 )
 
-SPAN_TYPE = StructType(
-    [
-        StructField("start", IntegerType(), True),
-        StructField("end", IntegerType(), True),
-    ]
-)
+# Character spans ship PACKED: one flat int array [s0,e0,s1,e1,...]
+# (item i covers text[spans[2i]:spans[2i+1]]). A per-item
+# struct<start,end> array costs a Python dict + an Arrow struct cell
+# per item — at 10^12 docs the flat form measurably narrows the
+# full-vs-parse-only Arrow-ship gap (round-3 bench) while staying
+# SQL-queryable (element_at / slice; size/2 = item count).
+SPAN_ARRAY_TYPE = ArrayType(IntegerType())
 
 # ----------------------------------------------------------------------
 # output of the extraction stage (extract.py mapInPandas)
@@ -60,7 +61,7 @@ EXTRACT_SCHEMA = StructType(
         StructField("lang", StringType(), True),
         StructField("doc_type", StringType(), True),  # pdf | html | unknown
         StructField("text", StringType(), True),  # extracted main text
-        StructField("spans", ArrayType(SPAN_TYPE), True),
+        StructField("spans", SPAN_ARRAY_TYPE, True),
         StructField("n_pages", IntegerType(), True),
         StructField("n_items", IntegerType(), True),
         # text items of the metadata candidate page (first page containing

@@ -125,8 +125,10 @@ def test_spans_match_text(extracted):
     ).select("text", "spans").limit(30).collect()
     assert rows
     for r in rows:
-        for s in r["spans"]:
-            seg = r["text"][s["start"] : s["end"]]
+        sp = r["spans"]
+        assert len(sp) % 2 == 0  # packed [s0,e0,s1,e1,...]
+        for start, end in zip(sp[0::2], sp[1::2]):
+            seg = r["text"][start:end]
             assert seg == seg.strip("\n")  # spans never cross separators
 
 
