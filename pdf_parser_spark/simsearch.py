@@ -445,6 +445,17 @@ def with_rp_buckets(
     ``V @ P.T`` matmul per Arrow batch is ~20× faster — the documented
     exception to the no-Python rule (hot numeric kernel, Arrow-batched,
     identical deterministic planes).
+
+    Cross-engine ulp note (accepted risk, bounded by test): the sign
+    bit is an exact ``dot >= 0`` comparison; numpy's einsum and the
+    DuckDB oracle's sequential ``list_inner_product`` may reassociate
+    and differ by ~64 ulp (~1e-14 for O(1) values). A vector lying
+    within that band of a hyperplane could bucket differently per
+    engine. ``test_lsh_sign_margin_far_above_ulp`` asserts the actual
+    corpus-wide minimum |dot| (~3.8e-7, incl. planted twins and sf1
+    mutations) stays ≥1e-9, so the band is never entered; if testdata
+    regeneration lands a vector near a plane, that test fails loudly
+    instead of a mystery hash mismatch at one SF.
     """
     import numpy as np
 

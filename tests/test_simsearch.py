@@ -102,3 +102,54 @@ def test_ivf_assign_covers_all(spark, corpus):
     assert assigned.filter(F.col("list_id").isNull()).count() == 0
     n_lists = assigned.select("list_id").distinct().count()
     assert 2 <= n_lists <= 8
+
+
+def test_lsh_sign_margin_far_above_ulp():
+    """ADVICE round-2: the bucket sign bit is an exact `dot >= 0`
+    comparison computed by numpy einsum Spark-side but by sequential
+    list_inner_product in the DuckDB oracle; different summation orders
+    can differ by ~1 ulp, so a near-zero dot could flip a bucket and
+    break parity only at larger corpora. This asserts the ACTUAL margin:
+    across every testdata embedding (all three SFs), the planted
+    near-dup twins (+0.25 first coord), the sf1 mutation copies
+    (+k/1000), and every hyperplane either driver query uses, the
+    minimum |dot| is >= 1e-9. Worst-case cross-engine reassociation
+    error for a 64-term float64 dot of O(1) values is ~64 ulp ≈ 1e-14,
+    so a 1e-9 floor leaves 5 orders of magnitude of margin (measured
+    actual minimum: ~3.8e-7). If testdata regeneration ever lands a vector
+    near a plane, this fails loudly instead of a mystery hash mismatch."""
+    import duckdb
+    import numpy as np
+
+    from pdf_parser_spark import simsearch
+
+    plane_sets = []
+    for bits, tables in ((6, 4), (8, 6)):  # ann_rp_lsh / embedding_near_dups_lsh
+        plane_sets.append(
+            np.array(
+                [
+                    [simsearch.hyperplane(7 + t * 10_007 + b, 64) for b in range(bits)]
+                    for t in range(tables)
+                ]
+            ).reshape(-1, 64)
+        )
+    planes = np.vstack(plane_sets)  # (total_planes, 64)
+
+    min_abs = np.inf
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        rows = duckdb.sql(
+            f"SELECT embedding FROM read_parquet('/root/testdata/{sf}/embeddings.parquet')"
+        ).fetchall()
+        v = np.array([r[0] for r in rows], dtype="float64")
+        variants = [v]
+        tw = v.copy()
+        tw[:, 0] += 0.25  # _near_dup_corpus planted twins
+        variants.append(tw)
+        for k in range(1, 10):  # scripts/make_sf1.py perturbation ladder
+            mk = v.copy()
+            mk[:, 0] += np.float32(k / 1000.0)
+            variants.append(mk)
+        for arr in variants:
+            dots = arr @ planes.T
+            min_abs = min(min_abs, float(np.abs(dots).min()))
+    assert min_abs >= 1e-9, f"min |dot| = {min_abs:.3e} — too close to a plane"
