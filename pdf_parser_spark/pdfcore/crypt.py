@@ -1,5 +1,5 @@
-"""ISO 32000-1 §7.6 standard security handler (RC4-40/128, empty user
-password) — pure stdlib.
+"""ISO 32000 §7.6 standard security handler (empty user password) —
+pure stdlib + the repo's own AES (:mod:`.aes`).
 
 The reference relies on vendored pdf.js for this (its worker decrypts
 RC4/AES transparently); crawled corpora routinely contain PDFs that are
@@ -7,16 +7,20 @@ RC4/AES transparently); crawled corpora routinely contain PDFs that are
 etc.), whose text a crawler should still extract. This implements:
 
 - Algorithm 2 (compute encryption key from the padded password, /O,
-  /P, ID[0]; 50×MD5 strengthening for R≥3),
+  /P, ID[0]; 50×MD5 strengthening for R≥3; /EncryptMetadata=false
+  FFFFFFFF suffix for R4),
 - Algorithms 4/5 (verify the empty USER password against /U),
-- per-object RC4 keys (MD5 of key + objnum[3] + gen[2], §7.6.2).
+- per-object keys (MD5 of key + objnum[3] + gen[2] [+ sAlT for AES],
+  §7.6.2),
+- V4 crypt filters (/CF /StdCF with /CFM AESV2 or V2),
+- V5 R5/R6 AESV3 (SHA-2 family: Algorithm 2.B hardened hash, /UE
+  file-key unwrap with a zero-IV AES-256-CBC).
 
-Scope: /Filter Standard, V 1-2, R 2-3 (RC4 40..128 bit). V≥4 (AES,
-crypt filters) and non-empty passwords raise :class:`CryptError` so
-callers keep the typed ``encrypted`` row. RC4 itself is the textbook
-KSA+PRGA — fine at these key sizes for DEcryption of legacy documents
-(this module never encrypts anything new).
-"""
+Out of scope (typed :class:`CryptError` → the extraction stage keeps
+its typed ``encrypted`` row): non-empty passwords, per-stream crypt
+filters / Identity-mixed StmF/StrF, public-key (PKCS#7) handlers.
+RC4 is the textbook KSA+PRGA — fine at these key sizes for DEcryption
+of legacy documents (nothing here protects anything new)."""
 
 from __future__ import annotations
 
@@ -69,9 +73,38 @@ def _as_bytes(v) -> bytes:
     raise CryptError("encrypt_dict", f"expected string in /Encrypt, got {type(v).__name__}")
 
 
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 §7.6.4.3.4 Algorithm 2.B (R6 hardened hash).
+
+    Structure: K = SHA-256(pw+salt+udata); then rounds of
+    K1 = (pw+K+udata)×64, E = AES-128-CBC(K[:16], iv=K[16:32], K1),
+    K = {SHA-256,SHA-384,SHA-512}[sum(E[:16]) % 3](E); stop after ≥64
+    rounds once E[-1] ≤ rounds−32. Fixture synthesis uses this same
+    function, so the pytest round trip proves self-consistency (no
+    third-party R6 files exist in-sandbox to cross-check against)."""
+    from .aes import cbc_encrypt_raw
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    rounds = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt_raw(k[:16], k1, iv=k[16:32])
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        rounds += 1
+        if rounds >= 64 and e[-1] <= rounds - 32:
+            return k[:32]
+
+
 class StandardSecurityHandler:
     """Validated handler for one document; raises CryptError('password')
-    if the EMPTY user password does not open the document."""
+    if the EMPTY user password does not open the document.
+
+    Supported envelopes → ``self.cipher``:
+    - V1/V2, R2/R3 → ``rc4`` (40..128-bit)
+    - V4, R4 with /CF /StdCF /CFM AESV2 → ``aes128`` (/CFM /V2 → rc4)
+    - V5, R5/R6 (/CFM AESV3) → ``aes256``
+    Anything else (crypt filters per stream, Identity StmF mixed modes,
+    non-empty passwords) raises a typed CryptError."""
 
     def __init__(self, encrypt: dict, file_id0: bytes):
         filt = str(encrypt.get("Filter", ""))
@@ -79,12 +112,49 @@ class StandardSecurityHandler:
             raise CryptError("filter", f"unsupported security handler {filt!r}")
         v = int(encrypt.get("V", 0))
         r = int(encrypt.get("R", 0))
-        if v not in (1, 2) or r not in (2, 3):
-            raise CryptError(
-                "cipher", f"only RC4 V1/V2 R2/R3 supported (V={v} R={r}; AES needs V>=4)"
-            )
         self.v, self.r = v, r
-        length_bits = int(encrypt.get("Length", 40)) if v == 2 else 40
+        self.id0 = file_id0
+        self.p = int(encrypt.get("P", 0))
+        self.encrypt_metadata = bool(encrypt.get("EncryptMetadata", True))
+
+        if v in (1, 2) and r in (2, 3):
+            self.cipher = "rc4"
+            length_bits = int(encrypt.get("Length", 40)) if v == 2 else 40
+            self._init_md5_family(encrypt, length_bits)
+        elif v == 4 and r == 4:
+            cfm, length_bits = self._parse_cf(encrypt)
+            self.cipher = "aes128" if cfm == "AESV2" else "rc4"
+            self._init_md5_family(encrypt, length_bits)
+        elif v == 5 and r in (5, 6):
+            self.cipher = "aes256"
+            self._init_aes256(encrypt)
+        else:
+            raise CryptError(
+                "cipher", f"unsupported encryption (V={v} R={r}); "
+                "supported: RC4 V1/V2 R2/R3, AESV2 V4 R4, AESV3 V5 R5/R6"
+            )
+
+    @staticmethod
+    def _parse_cf(encrypt: dict) -> tuple:
+        cf = encrypt.get("CF")
+        std = cf.get("StdCF") if isinstance(cf, dict) else None
+        if not isinstance(std, dict):
+            raise CryptError("cf", "V4 without a /CF /StdCF crypt filter")
+        stmf, strf = str(encrypt.get("StmF", "Identity")), str(encrypt.get("StrF", "Identity"))
+        if stmf != "StdCF" or strf != "StdCF":
+            raise CryptError(
+                "cf", f"only StmF=StrF=StdCF supported (StmF={stmf} StrF={strf})"
+            )
+        cfm = str(std.get("CFM", ""))
+        if cfm not in ("AESV2", "V2"):
+            raise CryptError("cf", f"unsupported /CFM {cfm!r}")
+        length = int(std.get("Length", encrypt.get("Length", 128)))
+        if length <= 32:  # some writers store bytes, not bits
+            length *= 8
+        return cfm, length
+
+    # ---------------- RC4 / AESV2 family (MD5-based, R2-R4) ----------
+    def _init_md5_family(self, encrypt: dict, length_bits: int) -> None:
         if length_bits % 8 or not (40 <= length_bits <= 128):
             raise CryptError("length", f"bad key length {length_bits}")
         self.n = length_bits // 8
@@ -92,9 +162,6 @@ class StandardSecurityHandler:
         self.u = _as_bytes(encrypt.get("U"))
         if len(self.o) < 32 or len(self.u) < 32:
             raise CryptError("encrypt_dict", "/O and /U must be 32 bytes")
-        # /P is a SIGNED 32-bit flags value, fed to MD5 little-endian
-        self.p = int(encrypt.get("P", 0))
-        self.id0 = file_id0
         self.key = self._compute_key(b"")  # empty USER password
         if not self._check_user_password():
             raise CryptError("password", "document requires a non-empty user password")
@@ -107,13 +174,15 @@ class StandardSecurityHandler:
         md.update(self.o[:32])
         md.update(struct.pack("<i", self.p if self.p < 2**31 else self.p - 2**32))
         md.update(self.id0)
+        if self.r >= 4 and not self.encrypt_metadata:
+            md.update(b"\xff\xff\xff\xff")
         digest = md.digest()
         if self.r >= 3:
             for _ in range(50):
                 digest = hashlib.md5(digest[: self.n]).digest()
         return digest[: self.n]
 
-    # Algorithms 4 (R2) / 5 (R3)
+    # Algorithms 4 (R2) / 5 (R3-R4)
     def _check_user_password(self) -> bool:
         if self.r == 2:
             return rc4(self.key, _PAD) == self.u[:32]
@@ -126,20 +195,68 @@ class StandardSecurityHandler:
             val = rc4(step_key, val)
         return val == self.u[:16]
 
+    # ---------------- AES-256 family (SHA-2 based, R5/R6) ------------
+    def _init_aes256(self, encrypt: dict) -> None:
+        from .aes import cbc_decrypt_raw
+
+        self.n = 32
+        u = _as_bytes(encrypt.get("U"))
+        ue = _as_bytes(encrypt.get("UE"))
+        if len(u) < 48 or len(ue) < 32:
+            raise CryptError("encrypt_dict", "/U must be 48 and /UE 32 bytes for V5")
+        self.u, self.o = u[:48], _as_bytes(encrypt.get("O", b""))
+        vsalt, ksalt = u[32:40], u[40:48]
+        if self.r == 6:
+            uhash = _hash_2b(b"", vsalt, b"")
+            inter = _hash_2b(b"", ksalt, b"")
+        else:  # R5 (deprecated Adobe extension): plain SHA-256
+            uhash = hashlib.sha256(b"" + vsalt).digest()
+            inter = hashlib.sha256(b"" + ksalt).digest()
+        if uhash != u[:32]:
+            raise CryptError("password", "document requires a non-empty user password")
+        self.key = cbc_decrypt_raw(inter, ue[:32])
+
     # §7.6.2 Algorithm 1: per-object key
     def object_key(self, num: int, gen: int) -> bytes:
+        if self.cipher == "aes256":
+            return self.key  # AESV3: the file key is used directly
         md = hashlib.md5()
         md.update(self.key)
         md.update(struct.pack("<I", num & 0xFFFFFF)[:3])
         md.update(struct.pack("<I", gen & 0xFFFF)[:2])
+        if self.cipher == "aes128":
+            md.update(b"sAlT")  # §7.6.2 AES salt constant
         return md.digest()[: min(self.n + 5, 16)]
 
     def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
-        return rc4(self.object_key(num, gen), data)
+        if not data:
+            return b""
+        if self.cipher == "rc4":
+            return rc4(self.object_key(num, gen), data)
+        from .aes import AesError, cbc_decrypt
 
-    # encryption is the same RC4 keystream (used only to synthesize
-    # test fixtures — never to protect anything)
-    encrypt = decrypt
+        try:
+            return cbc_decrypt(self.object_key(num, gen), data)
+        except AesError as e:
+            raise CryptError("aes_data", str(e)) from None
+
+    def encrypt_bytes(self, num: int, gen: int, data: bytes) -> bytes:
+        """Fixture synthesis only. AES IVs are derived deterministically
+        from (num, gen, content) so builds are reproducible."""
+        if not data:
+            return b""
+        key = self.object_key(num, gen)
+        if self.cipher == "rc4":
+            return rc4(key, data)
+        from .aes import cbc_encrypt
+
+        iv = hashlib.md5(
+            b"fixture-iv" + struct.pack("<II", num, gen) + hashlib.md5(data).digest()
+        ).digest()
+        return cbc_encrypt(key, data, iv)
+
+    # back-compat alias (pdfgen round-2 used handler.encrypt for RC4)
+    encrypt = encrypt_bytes
 
 
 def build_handler(encrypt: dict, file_id) -> Optional[StandardSecurityHandler]:
@@ -196,3 +313,31 @@ def make_encrypt_params(r: int, length_bits: int, id0: bytes, p: int = -44):
             val = rc4(bytes(b ^ i for b in key), val)
         u = val + b"\x00" * 16
     return o, u, key
+
+
+def make_encrypt_params_v5(r: int = 6):
+    """(O, OE, U, UE, file_key) for EMPTY passwords, V5 AESV3
+    (ISO 32000-2 §7.6.4.4.6 Algorithm 8/9 with deterministic salts —
+    fixture synthesis only)."""
+    from .aes import cbc_encrypt_raw
+
+    file_key = hashlib.sha256(b"pdfgen-aes256-file-key").digest()
+    vsalt, ksalt = b"VSALT_u1", b"KSALT_u1"
+    if r == 6:
+        uhash = _hash_2b(b"", vsalt, b"")
+        inter_u = _hash_2b(b"", ksalt, b"")
+    else:
+        uhash = hashlib.sha256(b"" + vsalt).digest()
+        inter_u = hashlib.sha256(b"" + ksalt).digest()
+    u = uhash + vsalt + ksalt
+    ue = cbc_encrypt_raw(inter_u, file_key)
+    ovs, oks = b"OVSALTo1", b"OKSALTo1"
+    if r == 6:
+        ohash = _hash_2b(b"", ovs, u)
+        inter_o = _hash_2b(b"", oks, u)
+    else:
+        ohash = hashlib.sha256(b"" + ovs + u).digest()
+        inter_o = hashlib.sha256(b"" + oks + u).digest()
+    o = ohash + ovs + oks
+    oe = cbc_encrypt_raw(inter_o, file_key)
+    return o, oe, u, ue, file_key

@@ -60,7 +60,7 @@ class PdfDocument:
                  decrypted: bool = False):
         self.pages = pages
         self.decode_fallbacks = decode_fallbacks
-        self.decrypted = decrypted  # RC4 standard-handler decrypt used
+        self.decrypted = decrypted  # standard-security-handler decrypt used
 
     @property
     def num_pages(self) -> int:
@@ -153,7 +153,7 @@ def _page_content_bytes(store: ObjectStore, page: dict) -> bytes:
     return b"\n".join(parts)
 
 
-def parse_pdf(data: bytes, rc4_decrypt: bool = False) -> PdfDocument:
+def parse_pdf(data: bytes, decrypt: bool = False) -> PdfDocument:
     """Parse PDF bytes into pages of positioned text items.
 
     Raises :class:`PdfError` with a stable ``code`` on unrecoverable
@@ -161,9 +161,10 @@ def parse_pdf(data: bytes, rc4_decrypt: bool = False) -> PdfDocument:
     (mirroring the page-loop ``continue`` of
     ``src/services/pdfParser/index.ts:65-68``).
 
-    ``rc4_decrypt=True`` additionally opens documents protected by the
-    ISO 32000-1 §7.6 STANDARD security handler with RC4 (V1/V2, R2/R3)
-    and an EMPTY user password — the common owner-restricted case in
+    ``decrypt=True`` additionally opens documents protected by the
+    ISO 32000 §7.6 STANDARD security handler with an EMPTY user
+    password: RC4 (V1/V2 R2/R3), AES-128 (V4 R4 /CFM AESV2) and
+    AES-256 (V5 R5/R6 AESV3) — the common owner-restricted cases in
     crawled corpora (the reference gets this from vendored pdf.js).
     The default keeps the round-2 behavior: every /Encrypt document is
     a typed ``encrypted`` error row.
@@ -186,7 +187,7 @@ def parse_pdf(data: bytes, rc4_decrypt: bool = False) -> PdfDocument:
     decrypted = False
     encrypt_ref = store.trailer.get("Encrypt")
     if encrypt_ref is not None:
-        if not rc4_decrypt:
+        if not decrypt:
             raise PdfError(
                 "encrypted", "document has an /Encrypt dictionary (decryption unsupported)"
             )

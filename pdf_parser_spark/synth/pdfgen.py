@@ -241,27 +241,57 @@ end""".encode()
         if self.encrypt_rc4:
             import hashlib as _hl
 
-            from ..pdfcore.crypt import StandardSecurityHandler, make_encrypt_params
+            from ..pdfcore.crypt import (
+                StandardSecurityHandler,
+                make_encrypt_params,
+                make_encrypt_params_v5,
+            )
 
-            r = int(self.encrypt_rc4.get("r", 3))
-            bits = int(self.encrypt_rc4.get("length", 128 if r >= 3 else 40))
+            mode = self.encrypt_rc4.get("mode", "rc4")
             id0 = _hl.md5(b"pdfgen-fixture-" + str(len(self.objects)).encode()).digest()
-            o, u, _key = make_encrypt_params(r, bits, id0)
-            v = 1 if bits == 40 else 2
-            enc_id = self._add(
-                (
+            if mode == "aesv3":
+                r = int(self.encrypt_rc4.get("r", 6))
+                o, oe, u, ue, _key = make_encrypt_params_v5(r)
+                enc_body = (
+                    f"<< /Filter /Standard /V 5 /R {r} /Length 256 "
+                    f"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                    f"/StmF /StdCF /StrF /StdCF "
+                    f"/O <{o.hex()}> /OE <{oe.hex()}> /U <{u.hex()}> /UE <{ue.hex()}> "
+                    f"/P -44 >>"
+                )
+                enc_dict = {"Filter": "Standard", "V": 5, "R": r, "Length": 256,
+                            "O": o, "OE": oe, "U": u, "UE": ue, "P": -44}
+            elif mode == "aesv2":
+                o, u, _key = make_encrypt_params(4, 128, id0)
+                enc_body = (
+                    f"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                    f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                    f"/StmF /StdCF /StrF /StdCF "
+                    f"/O <{o.hex()}> /U <{u.hex()}> /P -44 >>"
+                )
+                enc_dict = {"Filter": "Standard", "V": 4, "R": 4, "Length": 128,
+                            "O": o, "U": u, "P": -44,
+                            "CF": {"StdCF": {"CFM": "AESV2", "Length": 16}},
+                            "StmF": "StdCF", "StrF": "StdCF"}
+            else:
+                r = int(self.encrypt_rc4.get("r", 3))
+                bits = int(self.encrypt_rc4.get("length", 128 if r >= 3 else 40))
+                o, u, _key = make_encrypt_params(r, bits, id0)
+                v = 1 if bits == 40 else 2
+                enc_body = (
                     f"<< /Filter /Standard /V {v} /R {r} /Length {bits} "
                     f"/O <{o.hex()}> /U <{u.hex()}> /P -44 >>"
-                ).encode()
-            )
-            handler = StandardSecurityHandler(
-                {"Filter": "Standard", "V": v, "R": r, "Length": bits,
-                 "O": o, "U": u, "P": -44},
-                id0,
-            )
-            # RC4 every stream payload under its per-object key (the
-            # Encrypt dict itself and the xref stream stay plaintext);
-            # RC4 preserves length so /Length stays valid
+                )
+                enc_dict = {"Filter": "Standard", "V": v, "R": r, "Length": bits,
+                            "O": o, "U": u, "P": -44}
+            enc_id = self._add(enc_body.encode())
+            handler = StandardSecurityHandler(enc_dict, id0)
+            # encrypt every stream payload under its per-object key (the
+            # Encrypt dict itself and the xref stream stay plaintext).
+            # RC4 preserves length; AES adds IV+padding, so /Length in
+            # the stream dict is rewritten to the ciphertext size.
+            import re as _re
+
             for num, body in enumerate(self.objects):
                 if num == 0 or body is None or num == enc_id:
                     continue
@@ -269,10 +299,11 @@ end""".encode()
                 if i < 0:
                     continue
                 j = body.rfind(b"\nendstream")
-                payload = body[i + 8 : j]
-                self.objects[num] = (
-                    body[: i + 8] + handler.encrypt(num, 0, payload) + body[j:]
+                payload = handler.encrypt_bytes(num, 0, body[i + 8 : j])
+                head = _re.sub(
+                    rb"/Length \d+", b"/Length %d" % len(payload), body[:i], count=1
                 )
+                self.objects[num] = head + b"\nstream\n" + payload + body[j:]
             extra_trailer = (
                 f" /Encrypt {enc_id} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]"
             )

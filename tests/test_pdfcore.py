@@ -308,33 +308,39 @@ def test_rc4_encrypted_pdf_decrypts_byte_identical(r, bits, compress, xs):
     with pytest.raises(PdfError) as ei:
         parse_pdf(pdf)  # default stays a typed error
     assert ei.value.code == "encrypted"
-    doc = parse_pdf(pdf, rc4_decrypt=True)
+    doc = parse_pdf(pdf, decrypt=True)
     assert doc.decrypted
     assert doc.text() == b.golden_doc_text()
     assert doc.pages[0].whitetext_metadata() == b.golden_whitetext()
 
 
-def test_rc4_unsupported_envelope_stays_typed_error():
-    """AES (V4) and wrong-password documents fall back to the typed
-    'encrypted' row even with the flag on."""
+def test_unsupported_envelope_stays_typed_error():
+    """Out-of-envelope encryption (unknown V, broken V4 crypt filter,
+    wrong password) falls back to the typed 'encrypted' row even with
+    the flag on."""
     b = PdfBuilder(encrypt_rc4={"r": 3, "length": 128})
     b.new_page().text(72, 720, "x")
     pdf = b.build()
-    aes = pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    v6 = pdf.replace(b"/V 2 /R 3", b"/V 6 /R 7")
     with pytest.raises(PdfError) as ei:
-        parse_pdf(aes, rc4_decrypt=True)
-    assert ei.value.code == "encrypted" and "V=4" in str(ei.value)
+        parse_pdf(v6, decrypt=True)
+    assert ei.value.code == "encrypted" and "V=6" in str(ei.value)
+    # V4 claimed but no /CF crypt filter dictionary → typed error too
+    bare_v4 = pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    with pytest.raises(PdfError) as ei:
+        parse_pdf(bare_v4, decrypt=True)
+    assert ei.value.code == "encrypted" and "StdCF" in str(ei.value)
     # corrupt /U → password check fails → typed error, not garbage text
     import re
     m = re.search(rb"/U <([0-9a-f]+)>", pdf)
     bad_u = pdf.replace(m.group(1), m.group(1)[::-1])
     with pytest.raises(PdfError) as ei:
-        parse_pdf(bad_u, rc4_decrypt=True)
+        parse_pdf(bad_u, decrypt=True)
     assert ei.value.code == "encrypted" and "password" in str(ei.value)
 
 
 def test_rc4_extraction_stage_counts_decrypted(spark):
-    """extract_documents(rc4_decrypt=True): encrypted docs parse for
+    """extract_documents(decrypt=True): encrypted docs parse for
     real and are counted separately in the audit metrics."""
     from pdf_parser_spark import audit
     from pdf_parser_spark.extract import extract_documents
@@ -348,16 +354,52 @@ def test_rc4_extraction_stage_counts_decrypted(spark):
     pages = spark.createDataFrame(
         rows, "url string, warc_ts timestamp_ntz, html binary, text string, lang string"
     )
-    got = {r["url"]: r for r in extract_documents(pages, rc4_decrypt=True).collect()}
+    got = {r["url"]: r for r in extract_documents(pages, decrypt=True).collect()}
     assert got["enc://1"]["error_code"] is None
     assert got["enc://1"]["text"] == "crawled restricted doc"
     assert got["enc://1"]["decrypted"] is True
     assert got["plain://2"]["decrypted"] is False
     m = audit.partition_metrics(
-        audit.with_bucket(extract_documents(pages, rc4_decrypt=True), 4), "r-rc4"
+        audit.with_bucket(extract_documents(pages, decrypt=True), 4), "r-rc4"
     ).collect()
     assert sum(r["decrypted_docs"] for r in m) == 1
     assert sum(r["failures"] for r in m) == 0
     # default flag: the encrypted doc is still a typed error row
     d = {r["url"]: r for r in extract_documents(pages).collect()}
     assert d["enc://1"]["error_code"] == "encrypted"
+
+
+def test_aes_known_answer_vectors():
+    """FIPS-197 Appendix C vectors pin the generated-table AES core —
+    a table-generation bug cannot cancel between encrypt and decrypt."""
+    from pdf_parser_spark.pdfcore.aes import (
+        _decrypt_block, _encrypt_block, _expand_key, cbc_decrypt, cbc_encrypt)
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    k128, k256 = bytes(range(16)), bytes(range(32))
+    assert _encrypt_block(pt, _expand_key(k128)).hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert _encrypt_block(pt, _expand_key(k256)).hex() == "8ea2b7ca516745bfeafc49904b496089"
+    for k in (k128, k256):
+        assert _decrypt_block(_encrypt_block(pt, _expand_key(k)), _expand_key(k)) == pt
+    blob = cbc_encrypt(b"k" * 16, b"odd-length payload 123", b"i" * 16)
+    assert cbc_decrypt(b"k" * 16, blob) == b"odd-length payload 123"
+
+
+@pytest.mark.parametrize("enc,xs", [
+    ({"mode": "aesv2"}, False),            # V4 R4 AES-128 crypt filter
+    ({"mode": "aesv3", "r": 6}, True),     # V5 R6 AES-256, 2.B hash
+    ({"mode": "aesv3", "r": 5}, False),    # V5 R5 (deprecated SHA-256)
+])
+def test_aes_encrypted_pdf_decrypts_byte_identical(enc, xs):
+    b = PdfBuilder(compress=True, xref_stream=xs, encrypt_rc4=enc)
+    pg = b.new_page()
+    pg.text(72, 720, "aes secret text")
+    pg.white_text("Name_of_Prospect: Bob||Zip_Code: 12345")
+    pdf = b.build()
+    with pytest.raises(PdfError) as ei:
+        parse_pdf(pdf)  # default stays the typed error row
+    assert ei.value.code == "encrypted"
+    doc = parse_pdf(pdf, decrypt=True)
+    assert doc.decrypted
+    assert doc.text() == b.golden_doc_text()
+    assert doc.pages[0].whitetext_metadata() == b.golden_whitetext()
