@@ -44,7 +44,9 @@ MEDIA_SCHEMA = (
 
 _KINDS = {0: "image", 1: "audio", 2: "video"}
 _MAGICS = {
-    b"RIFF": "AVI/other RIFF (install ffmpeg)",  # RIFF+WAVE decodes for real
+    # RIFF+WAVE and RIFF+AVI decode for real; other RIFF payloads
+    # (WebP etc.) still need real codecs
+    b"RIFF": "non-WAVE/AVI RIFF container (install ffmpeg)",
 }
 _PNG_SIG = b"\x89PNG"
 _JPEG_SIG = b"\xff\xd8\xff"
@@ -94,6 +96,9 @@ def decode_media(blob: bytes) -> dict:
     if len(blob) >= 12 and blob[4:8] == b"ftyp":
         # REAL ISO-BMFF metadata walk (frame decode needs real codecs)
         return decode_mp4_metadata(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        # REAL RIFF/avih metadata walk (frame decode stays gated)
+        return decode_avi_metadata(blob)
     for magic, what in _MAGICS.items():
         if blob[: len(magic)] == magic:
             raise NotImplementedError(f"real codec not available in sandbox: {what}")
@@ -309,6 +314,40 @@ def _walk_boxes(data: bytes, start: int, end: int):
             raise ValueError("corrupt MP4: bad box size")
         yield btype, pos + hdr, pos + size
         pos += size
+
+
+def _walk_riff(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        ckid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = pos + 8
+        if body + size > end:
+            raise ValueError("corrupt AVI: chunk overruns file")
+        yield ckid, body, body + size
+        pos = body + size + (size & 1)  # chunks are word-aligned
+
+
+def decode_avi_metadata(blob: bytes) -> dict:
+    """REAL RIFF/AVI main-header walk (LIST hdrl → avih, public AVI
+    spec): width/height/frame count/fps without any codec. Frame
+    DECODE still needs real codecs and stays gated. sample_rate
+    carries the frame rate (µs-per-frame inverted)."""
+    for ckid, s, e in _walk_riff(blob, 12, len(blob)):
+        if ckid == b"LIST" and blob[s : s + 4] == b"hdrl":
+            for ck2, s2, e2 in _walk_riff(blob, s + 4, e):
+                if ck2 == b"avih":
+                    if e2 - s2 < 40:
+                        raise ValueError("corrupt AVI: short avih")
+                    vals = struct.unpack("<10I", blob[s2 : s2 + 40])
+                    usec_pf, total_frames, w, h = vals[0], vals[4], vals[8], vals[9]
+                    return {
+                        "kind": "video", "width": w, "height": h,
+                        "sample_rate": (1_000_000 // usec_pf) if usec_pf else 0,
+                        "channels": 0, "n_frames": total_frames,
+                        "n_bytes": len(blob),
+                    }
+    raise ValueError("corrupt AVI: no avih header")
 
 
 def decode_mp4_metadata(blob: bytes) -> dict:

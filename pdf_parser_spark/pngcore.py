@@ -9,7 +9,8 @@ chunk walking. No PIL needed.
 Scope (typed ``PngError`` outside it):
 
 - bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette → RGB),
-  4 (gray+alpha), 6 (RGBA); interlace 0 only (Adam7 → typed error).
+  4 (gray+alpha), 6 (RGBA); interlace 0 AND Adam7 (round 3: the seven
+  sub-images de-filter independently and scatter into the full grid).
 - the encoder emits valid files with a selectable per-row filter
   (0/1/2/3/4) — used by the round-trip tests to drive every filter
   branch of the shared de-filter kernel.
@@ -47,18 +48,29 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
 
 
 def encode_png(
-    width: int, height: int, pixels: bytes, color_type: int = 2, filter_type: int = 0
+    width: int, height: int, pixels: bytes, color_type: int = 2, filter_type: int = 0,
+    interlace: bool = False,
 ) -> bytes:
     """8-bit PNG from raw interleaved ``pixels`` (len == w*h*channels).
 
     ``filter_type`` applies the SAME filter to every row (enough to
     exercise each decoder branch; a real optimizer would pick per row).
+    ``interlace=True`` writes Adam7 passes (filter 0 scanlines).
     """
     ch = _CHANNELS[color_type]
     if color_type == 3:
         raise PngError("encode_palette", "palette encoding not supported")
     if len(pixels) != width * height * ch:
         raise PngError("encode_size", "pixel buffer does not match dimensions")
+    if interlace:
+        raw7 = _interlace_adam7(pixels, width, height, ch)
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+        return (
+            _SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw7))
+            + _chunk(b"IEND", b"")
+        )
     row_len = width * ch
     raw = bytearray()
     prev = bytes(row_len)
@@ -122,8 +134,8 @@ def decode_png(data: bytes) -> Dict:
     if ihdr is None:
         raise PngError("no_ihdr", "missing IHDR chunk")
     w, h, bd, ct, comp, filt, interlace = ihdr
-    if interlace != 0:
-        raise PngError("interlaced", "Adam7 interlacing not supported")
+    if interlace not in (0, 1):
+        raise PngError("interlaced", f"unknown interlace method {interlace}")
     if bd != 8:
         raise PngError("bit_depth", f"bit depth {bd} not supported (8 only)")
     if ct not in _CHANNELS:
@@ -135,13 +147,16 @@ def decode_png(data: bytes) -> Dict:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise PngError("zlib", f"IDAT inflate failed: {e}") from None
-    expected = h * (w * ch + 1)
-    if len(raw) < expected:
-        raise PngError("truncated", "IDAT shorter than image dimensions imply")
-    pixels = apply_predictor(
-        raw[:expected],
-        {"Predictor": 15, "Colors": ch, "BitsPerComponent": 8, "Columns": w},
-    )
+    if interlace == 1:
+        pixels = _deinterlace_adam7(raw, w, h, ch)
+    else:
+        expected = h * (w * ch + 1)
+        if len(raw) < expected:
+            raise PngError("truncated", "IDAT shorter than image dimensions imply")
+        pixels = apply_predictor(
+            raw[:expected],
+            {"Predictor": 15, "Colors": ch, "BitsPerComponent": 8, "Columns": w},
+        )
     if ct == 3:
         if not plte:
             raise PngError("no_plte", "palette image without PLTE chunk")
@@ -160,6 +175,61 @@ def decode_png(data: bytes) -> Dict:
         "channels": ch,
         "pixels": pixels,
     }
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _deinterlace_adam7(raw: bytes, w: int, h: int, ch: int) -> bytes:
+    """Seven independently-filtered sub-images → full raster. Empty
+    passes (sub-image with zero width or height) contribute no bytes,
+    not even filter bytes, per the PNG spec."""
+    out = bytearray(w * h * ch)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue
+        need = ph * (pw * ch + 1)
+        if pos + need > len(raw):
+            raise PngError("truncated", "Adam7 pass data shorter than expected")
+        sub = apply_predictor(
+            raw[pos : pos + need],
+            {"Predictor": 15, "Colors": ch, "BitsPerComponent": 8, "Columns": pw},
+        )
+        pos += need
+        for py in range(ph):
+            y = y0 + py * dy
+            row = sub[py * pw * ch : (py + 1) * pw * ch]
+            for px in range(pw):
+                x = x0 + px * dx
+                off = (y * w + x) * ch
+                out[off : off + ch] = row[px * ch : (px + 1) * ch]
+    return bytes(out)
+
+
+def _interlace_adam7(pixels: bytes, w: int, h: int, ch: int) -> bytes:
+    """Raster → concatenated Adam7 pass scanlines with filter-0 bytes
+    (encoder side, used to synthesize interlaced test fixtures)."""
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue
+        for py in range(ph):
+            y = y0 + py * dy
+            out.append(0)  # filter None per scanline
+            for px in range(pw):
+                x = x0 + px * dx
+                off = (y * w + x) * ch
+                out += pixels[off : off + ch]
+    return bytes(out)
 
 
 def resize_nearest(img: Dict, out_w: int, out_h: int) -> Dict:

@@ -9,10 +9,12 @@ from pdf_parser_spark import multimodal as mm
 
 
 def test_real_formats_are_gated():
-    # PNG (round 2) and JPEG (round 3) decode for real; only AVI-style
-    # RIFF still raises the install-me stub
+    # PNG (round 2), JPEG + AVI metadata (round 3) decode for real;
+    # only non-WAVE/AVI RIFF payloads (e.g. WebP) keep the stub
     with pytest.raises(NotImplementedError, match="install"):
-        mm.decode_media(b"RIFF1234AVI " + b"\x00" * 20)
+        mm.decode_media(b"RIFF\x04\x00\x00\x00WEBP" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="corrupt AVI"):  # AVI is real now
+        mm.decode_media(b"RIFF\x14\x00\x00\x00AVI " + b"\x00" * 20)
     from pdf_parser_spark.jpegcore import JpegError
 
     with pytest.raises(JpegError):  # JPEG sig + garbage → typed error
@@ -95,8 +97,17 @@ def test_real_wav_decode():
     assert (meta["sample_rate"], meta["channels"], meta["n_frames"]) == (44100, 2, 10)
     assert meta["n_bytes"] == 40
     assert mm.wav_samples(buf.getvalue()) == b"\x01\x02\x03\x04" * 10
-    with pytest.raises(NotImplementedError, match="AVI"):
-        mm.decode_media(b"RIFF\x00\x00\x00\x00AVI LIST" + b"\x00" * 20)
+    # a REAL synthesized AVI header decodes: RIFF('AVI ' LIST('hdrl' avih))
+    import struct as _s
+
+    avih = _s.pack("<10I", 40000, 0, 0, 0, 250, 0, 1, 0, 320, 240) + b"\x00" * 16
+    hdrl = b"hdrl" + b"avih" + _s.pack("<I", len(avih)) + avih
+    lst = b"LIST" + _s.pack("<I", len(hdrl)) + hdrl
+    riff = b"RIFF" + _s.pack("<I", 4 + len(lst)) + b"AVI " + lst
+    m = mm.decode_media(riff)
+    assert m["kind"] == "video"
+    assert (m["width"], m["height"], m["n_frames"]) == (320, 240, 250)
+    assert m["sample_rate"] == 25  # 1e6 / 40000 µs per frame = 25 fps
 
 
 def _make_mp4(width, height, timescale, duration, version=0):

@@ -53,9 +53,9 @@ def test_typed_errors():
     with pytest.raises(PngError) as ei:
         decode_png(b"not a png at all")
     assert ei.value.code == "not_png"
-    # interlaced
+    # unknown interlace method (Adam7 itself is supported since round 3)
     sig = b"\x89PNG\r\n\x1a\n"
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)
     blob = sig + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
     with pytest.raises(PngError) as ei:
         decode_png(blob)
@@ -120,3 +120,30 @@ def test_multimodal_spark_stage_on_real_pngs(spark):
     metrics = mm.media_stage_metrics(mm.resized_thumbnails(df, 2, 2))
     agg = metrics.groupBy().sum("docs", "failures").collect()[0]
     assert (agg[0], agg[1]) == (7, 1)
+
+
+@pytest.mark.parametrize("color_type,ch", [(0, 1), (2, 3), (6, 4)])
+def test_adam7_interlaced_roundtrip(color_type, ch):
+    """Round 3: Adam7 decode is real — an interlaced encode of the same
+    pixels decodes byte-identically to the progressive layout."""
+    for w, h in [(4, 3), (8, 8), (13, 11), (1, 1), (2, 9)]:
+        px = _pixels(w, h, ch)
+        blob = encode_png(w, h, px, color_type=color_type, interlace=True)
+        img = decode_png(blob)
+        assert (img["width"], img["height"]) == (w, h)
+        assert img["pixels"] == px, f"{w}x{h} ct={color_type}"
+
+
+def test_adam7_truncated_is_typed_error():
+    px = _pixels(8, 8, 3)
+    blob = encode_png(8, 8, px, color_type=2, interlace=True)
+    # truncate the zlib stream: inflate fails OR pass data runs short
+    import struct as _s, zlib as _z
+    idat_at = blob.index(b"IDAT") - 4
+    (ln,) = _s.unpack(">I", blob[idat_at:idat_at+4])
+    body = blob[idat_at+8:idat_at+8+ln]
+    short = _z.compress(_z.decompress(body)[: 40])
+    rebuilt = blob[:idat_at] + _chunk(b"IDAT", short) + blob[idat_at+12+ln:]
+    with pytest.raises(PngError) as ei:
+        decode_png(rebuilt)
+    assert ei.value.code == "truncated"
