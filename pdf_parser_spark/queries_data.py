@@ -964,7 +964,7 @@ FROM d
 def _jpeg_roundtrip_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
-    from .jpegcore import decode_jpeg, encode_jpeg
+    from .jpegcore import decode_jpeg, encode_jpeg, encode_jpeg_progressive
     from .pngcore import resize_nearest
 
     for b in batches:
@@ -978,10 +978,13 @@ def _jpeg_roundtrip_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
             for j in range(wb * hb):
                 by, bx = divmod(j, wb)
                 px[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = data[j % len(data)]
-            blob = encode_jpeg(
-                wb * 8, hb * 8, px.tobytes(), channels=1,
-                restart_interval=1 + i % 3,  # RSTn resync live per doc
-            )
+            if i % 2:  # PROGRESSIVE (SOF2, multi-scan successive approx)
+                blob = encode_jpeg_progressive(wb * 8, hb * 8, px.tobytes(), channels=1)
+            else:  # baseline with live RSTn resync
+                blob = encode_jpeg(
+                    wb * 8, hb * 8, px.tobytes(), channels=1,
+                    restart_interval=1 + i % 3,
+                )
             img = decode_jpeg(blob)  # REAL marker+huffman+IDCT decode
             img["color_type"] = 0
             thumb = resize_nearest(img, 2, 2)
@@ -995,14 +998,16 @@ def _jpeg_roundtrip_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
 
 
 def q_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real baseline JPEG codec end to end at driver scale: text bytes
-    → one gray value per 8×8 block → encode (all-ones quant, restart
-    interval = doc_id % 3 + 1 so the RSTn resync path is live) → full
-    entropy decode + IDCT → 2×2 nearest thumbnail.  With unit quant a
-    constant block round-trips byte-identically (DC = 8·(v−128) is an
-    exact integer, ACs quantize to 0), so the oracle derives the
-    decoded sums straight from the text bytes and never touches JPEG —
-    any marker/huffman/zigzag/IDCT defect breaks the hash."""
+    """Real JPEG codec end to end at driver scale: text bytes → one
+    gray value per 8×8 block → encode → full entropy decode + IDCT →
+    2×2 nearest thumbnail. Even docs take the BASELINE path with a live
+    RSTn restart interval (doc_id % 3 + 1); odd docs take the
+    PROGRESSIVE (SOF2) path — DC first/refine + split-band AC first +
+    AC refinement scans. With unit quant a constant block round-trips
+    byte-identically in both modes (DC = 8·(v−128) is an exact integer,
+    ACs quantize to 0), so ONE oracle derived straight from the text
+    bytes covers both decoders — any marker/huffman/zigzag/scan-logic/
+    IDCT defect in either path breaks the hash."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     return d.mapInPandas(
         _jpeg_roundtrip_mapper,

@@ -112,9 +112,11 @@ def test_color_420_subsampled_frame_header():
 def test_typed_errors():
     cases = [
         (b"\x00\x01", "not_jpeg"),
-        (b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9), "unsupported_sof"),  # progressive
+        # progressive (SOF2) is SUPPORTED since round 3 — a bare SOF2
+        # header with 0 precision is a precision error, not a gate
         (b"\xff\xd8\xff\xc3\x00\x0b" + bytes(9), "unsupported_sof"),  # lossless
         (b"\xff\xd8\xff\xc9\x00\x0b" + bytes(9), "unsupported_sof"),  # arithmetic
+        (b"\xff\xd8\xff\xca\x00\x0b" + bytes(9), "unsupported_sof"),  # arith prog
         (b"\xff\xd8\xff\xe0\xff\xff" + bytes(4), "truncated"),
     ]
     for blob, code in cases:
@@ -165,3 +167,79 @@ def test_spark_stage_mixed_jpeg_png(spark):
     thumbs = {r["doc_id"]: r for r in mm.resized_thumbnails(df, 2, 2).collect()}
     assert thumbs[1]["error"] is None and thumbs[1]["pixel_sum"] == 2 * (5 + 250)
     assert thumbs[3]["thumb"] is None and thumbs[3]["error"] is not None
+
+
+# ----------------------------------------------------------------------
+# progressive (SOF2) — round 3
+# ----------------------------------------------------------------------
+from pdf_parser_spark.jpegcore import encode_jpeg_progressive
+
+
+def _cross_mode(width, height, px_bytes, channels, quant=None):
+    """The anti-cancellation invariant: progressive and baseline files
+    carry the SAME quantized coefficients, so both decodes must be
+    pixel-identical (scan-logic bugs cannot hide behind IDCT error)."""
+    kw = {}
+    if quant is not None:
+        kw = {"quant_luma": quant, "quant_chroma": quant}
+    base = decode_jpeg(encode_jpeg(width, height, px_bytes, channels=channels,
+                                   subsampling="444" if channels == 3 else "444", **kw))
+    prog = decode_jpeg(encode_jpeg_progressive(width, height, px_bytes,
+                                               channels=channels, **kw))
+    assert prog["channels"] == base["channels"]
+    assert prog["pixels"] == base["pixels"]
+    return prog
+
+
+def test_progressive_flat_blocks_exact():
+    px = _flat_block_image([7, 200, 33, 128, 255, 0], wb=3, hb=2)
+    img = _cross_mode(24, 16, px.tobytes(), 1)
+    assert img["pixels"] == px.tobytes()  # unit quant → byte-identical
+
+
+def test_progressive_gradient_exact():
+    g = np.arange(32 * 24, dtype=np.uint8).reshape(24, 32)
+    img = _cross_mode(32, 24, g.tobytes(), 1)
+    assert img["pixels"] == g.tobytes()
+
+
+def test_progressive_noise_heavy_quant_all_scan_paths():
+    """quant=16 zeroes most ACs: long EOB runs, ZRL runs, dense
+    refinement corrections — every G.1.2 path is live."""
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    _cross_mode(56, 40, noise.tobytes(), 1, quant=[16] * 64)
+
+
+def test_progressive_long_eob_runs():
+    # constant image: every AC band is all-zero → one EOBn per scan
+    flat = np.full((48, 64), 130, dtype=np.uint8)
+    img = _cross_mode(64, 48, flat.tobytes(), 1)
+    assert img["pixels"] == flat.tobytes()
+
+
+def test_progressive_odd_dimensions():
+    g = (np.arange(13 * 11) * 5 % 256).astype(np.uint8).reshape(11, 13)
+    img = _cross_mode(13, 11, g.tobytes(), 1)  # prog == baseline is the gate
+    assert (img["width"], img["height"]) == (13, 11)
+    # this particular content lands one reconstruction on a .5 float
+    # tie, so unit-quant is only ±1-exact vs the original here — the
+    # byte-exact invariant is the cross-mode one asserted above
+    dec = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(11, 13)
+    assert np.max(np.abs(dec.astype(int) - g.astype(int))) <= 1
+
+
+def test_progressive_color():
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint8)
+    _cross_mode(16, 24, rgb.tobytes(), 3, quant=[8] * 64)
+
+
+def test_progressive_header_and_multimodal():
+    px = _flat_block_image([50, 100], wb=2, hb=1)
+    blob = encode_jpeg_progressive(16, 8, px.tobytes(), channels=1)
+    assert parse_jpeg_header(blob) == {"width": 16, "height": 8, "channels": 1}
+    meta = mm.decode_media(blob)
+    assert meta["kind"] == "image" and (meta["width"], meta["height"]) == (16, 8)
+    thumb = mm.resize_image(blob, 2, 1)  # full progressive decode inside
+    assert mm.thumb_pixel_sum(thumb) == 50 + 100
