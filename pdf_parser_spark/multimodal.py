@@ -8,13 +8,16 @@ run as Arrow-batched functions over ``mapInPandas``.
   :mod:`.pngcore` — zlib + the repo's own PNG row filters; metadata,
   nearest-neighbor resize, and re-encode all operate on actual pixels.
 - **JPEG decodes FOR REAL** (round 3): baseline/extended-sequential
-  huffman codec in :mod:`.jpegcore` (markers, DQT/DHT, MCU entropy
-  decode, IDCT, chroma upsampling, YCbCr→RGB); progressive/arithmetic
-  modes surface as typed error rows naming the mode.
-- **WAV (stdlib) and MP4 metadata walk** are real (round 2); only
-  video FRAME decode stays gated (``NotImplementedError`` naming the
-  library a deployment would install — real codecs are genuinely
-  absent in this container).
+  AND progressive (SOF2) huffman codec in :mod:`.jpegcore` (markers,
+  DQT/DHT, MCU entropy decode, successive-approximation scans, IDCT,
+  chroma upsampling, YCbCr→RGB); lossless/arithmetic modes surface as
+  typed error rows naming the mode.
+- **GIF decodes FOR REAL** (round 3): :mod:`.gifcore` — LSB-first LZW,
+  global/local palettes, interlace, frame counting.
+- **WAV (stdlib), MP4/AVI/WebP metadata walks** are real; only video
+  FRAME decode and WebP/exotic-RIFF pixel decode stay gated
+  (``NotImplementedError`` naming the library a deployment would
+  install — real codecs are genuinely absent in this container).
 - the deterministic ``FAKE`` container (our synthetic corpus format)
   also decodes for real, so every downstream stage — schema,
   partitioning, Arrow batch shape, resize math, frame sampling — is
@@ -44,9 +47,9 @@ MEDIA_SCHEMA = (
 
 _KINDS = {0: "image", 1: "audio", 2: "video"}
 _MAGICS = {
-    # RIFF+WAVE and RIFF+AVI decode for real; other RIFF payloads
-    # (WebP etc.) still need real codecs
-    b"RIFF": "non-WAVE/AVI RIFF container (install ffmpeg)",
+    # WAVE/AVI/WEBP RIFF payloads decode (or metadata-walk) for real;
+    # anything else RIFF-shaped still needs real codecs
+    b"RIFF": "unrecognized RIFF container (install ffmpeg)",
 }
 _PNG_SIG = b"\x89PNG"
 _JPEG_SIG = b"\xff\xd8\xff"
@@ -77,6 +80,15 @@ def decode_media(blob: bytes) -> dict:
             "sample_rate": 0, "channels": img["channels"], "n_frames": 1,
             "n_bytes": len(img["pixels"]),
         }
+    if blob[:4] == b"GIF8":
+        from . import gifcore
+
+        img = gifcore.decode_gif(blob)  # real LZW decode (frame count too)
+        return {
+            "kind": "image", "width": img["width"], "height": img["height"],
+            "sample_rate": 0, "channels": 3, "n_frames": img["n_frames"],
+            "n_bytes": len(img["pixels"]),
+        }
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         # REAL PCM WAV decode via the stdlib wave module
         import io
@@ -99,6 +111,10 @@ def decode_media(blob: bytes) -> dict:
     if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
         # REAL RIFF/avih metadata walk (frame decode stays gated)
         return decode_avi_metadata(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        # REAL WebP header walk (VP8/VP8L/VP8X dims; pixel decode needs
+        # a real VP8 codec and stays gated)
+        return decode_webp_metadata(blob)
     for magic, what in _MAGICS.items():
         if blob[: len(magic)] == magic:
             raise NotImplementedError(f"real codec not available in sandbox: {what}")
@@ -145,9 +161,20 @@ def resize_image(blob: bytes, out_w: int, out_h: int) -> bytes:
         return pngcore.encode_png(
             out_w, out_h, small["pixels"], color_type=small["color_type"]
         )
+    if blob[:4] == b"GIF8":
+        from . import gifcore, pngcore
+
+        img = gifcore.decode_gif(blob)
+        img["color_type"] = 2
+        small = pngcore.resize_nearest(img, out_w, out_h)
+        return pngcore.encode_png(out_w, out_h, small["pixels"], color_type=2)
     meta = decode_media(blob)
     if meta["kind"] != "image":
         raise ValueError("not an image")
+    if blob[:4] != b"FAKE":
+        # metadata-only formats (WebP): dims are real but pixels need a
+        # codec this sandbox can't have — typed gate, never fake pixels
+        raise NotImplementedError("pixel decode not available for this format")
     w, h = meta["width"], meta["height"]
     payload = blob[11:]
     out = bytearray()
@@ -323,9 +350,38 @@ def _walk_riff(data: bytes, start: int, end: int):
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = pos + 8
         if body + size > end:
-            raise ValueError("corrupt AVI: chunk overruns file")
+            raise ValueError("corrupt RIFF: chunk overruns file")
         yield ckid, body, body + size
         pos = body + size + (size & 1)  # chunks are word-aligned
+
+
+def decode_webp_metadata(blob: bytes) -> dict:
+    """REAL WebP container walk: dimensions from VP8X (extended
+    canvas), VP8 (lossy key-frame header) or VP8L (lossless stream
+    header) per the public WebP container spec. PIXEL decode needs a
+    real VP8 codec and stays gated (see :func:`resize_image`)."""
+    for ckid, s, e in _walk_riff(blob, 12, len(blob)):
+        if ckid == b"VP8X" and e - s >= 10:
+            w = 1 + int.from_bytes(blob[s + 4 : s + 7], "little")
+            h = 1 + int.from_bytes(blob[s + 7 : s + 10], "little")
+        elif ckid == b"VP8 " and e - s >= 10:
+            if blob[s + 3 : s + 6] != b"\x9d\x01\x2a":
+                raise ValueError("corrupt WebP: bad VP8 start code")
+            w = int.from_bytes(blob[s + 6 : s + 8], "little") & 0x3FFF
+            h = int.from_bytes(blob[s + 8 : s + 10], "little") & 0x3FFF
+        elif ckid == b"VP8L" and e - s >= 5:
+            if blob[s] != 0x2F:
+                raise ValueError("corrupt WebP: bad VP8L signature")
+            bits = int.from_bytes(blob[s + 1 : s + 5], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+        else:
+            continue
+        return {
+            "kind": "image", "width": w, "height": h, "sample_rate": 0,
+            "channels": 3, "n_frames": 1, "n_bytes": len(blob),
+        }
+    raise ValueError("corrupt WebP: no VP8/VP8L/VP8X chunk")
 
 
 def decode_avi_metadata(blob: bytes) -> dict:

@@ -1040,6 +1040,59 @@ FROM d
 
 
 # ----------------------------------------------------------------------
+# real-GIF round trip: palette indices from text bytes → LSB-first LZW
+# encode → decode (interlace live on odd docs) → RGB pixel sum
+# ----------------------------------------------------------------------
+def _gif_roundtrip_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .gifcore import decode_gif, encode_gif
+
+    palette = bytes(b for k in range(8) for b in (k * 9, k * 17, k * 33))
+
+    for b in batches:
+        cols = {k: [] for k in ("doc_id", "width", "height", "n_frames", "pixel_sum")}
+        for doc_id, text in zip(b["doc_id"].tolist(), b["text"].tolist()):
+            i = int(doc_id)
+            data = _oracle_bytes(i, text)
+            w, h = 3 + i % 5, 2 + i % 4
+            idx = bytes(data[j % len(data)] % 8 for j in range(w * h))
+            blob = encode_gif(w, h, idx, palette, interlace=bool(i % 2))
+            img = decode_gif(blob)  # REAL LSB-first LZW + palette expand
+            cols["doc_id"].append(i)
+            cols["width"].append(img["width"])
+            cols["height"].append(img["height"])
+            cols["n_frames"].append(img["n_frames"])
+            cols["pixel_sum"].append(int(sum(img["pixels"])))
+        yield pd.DataFrame(cols)
+
+
+def q_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF codec end to end at driver scale: text bytes → 3-bit
+    palette indices → GIF89a encode (Adam-style INTERLACE on odd docs,
+    so the row-reorder path is oracle-live) → decode → RGB pixel sum.
+    Palette entry k is (9k, 17k, 33k) — all < 256 for k ≤ 7, so the
+    oracle reduces each pixel to 59·(byte % 8) and never touches GIF."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.mapInPandas(
+        _gif_roundtrip_mapper,
+        schema="doc_id long, width int, height int, n_frames int, pixel_sum long",
+    )
+
+
+SQL_GIF_ROUNDTRIP = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h
+  FROM documents
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       1 AS n_frames,
+       CAST(59 * list_sum(list_transform(generate_series(0, w * h - 1),
+                    j -> ascii(substr(text, (j % n) + 1, 1)) % 8)) AS BIGINT) AS pixel_sum
+FROM d
+"""
+
+
+# ----------------------------------------------------------------------
 # real-WAV round trip: encode PCM from text bytes → decode → sums
 # ----------------------------------------------------------------------
 def _wav_roundtrip_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1255,6 +1308,7 @@ def data_queries():
         "multimodal_meta": q_multimodal_meta,
         "png_roundtrip": q_png_roundtrip,
         "jpeg_roundtrip": q_jpeg_roundtrip,
+        "gif_roundtrip": q_gif_roundtrip,
         "wav_roundtrip": q_wav_roundtrip,
         "mp4_roundtrip": q_mp4_roundtrip,
     }
@@ -1296,6 +1350,7 @@ def data_oracle_sql():
         "multimodal_meta": SQL_MULTIMODAL_META,
         "png_roundtrip": _sql_png_roundtrip(),
         "jpeg_roundtrip": SQL_JPEG_ROUNDTRIP,
+        "gif_roundtrip": SQL_GIF_ROUNDTRIP,
         "wav_roundtrip": SQL_WAV_ROUNDTRIP,
         "mp4_roundtrip": SQL_MP4_ROUNDTRIP,
     }

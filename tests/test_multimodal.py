@@ -9,10 +9,12 @@ from pdf_parser_spark import multimodal as mm
 
 
 def test_real_formats_are_gated():
-    # PNG (round 2), JPEG + AVI metadata (round 3) decode for real;
-    # only non-WAVE/AVI RIFF payloads (e.g. WebP) keep the stub
+    # PNG/JPEG/GIF decode for real; AVI/MP4/WebP metadata-walk for
+    # real; only unrecognized RIFF payloads keep the install-me stub
     with pytest.raises(NotImplementedError, match="install"):
-        mm.decode_media(b"RIFF\x04\x00\x00\x00WEBP" + b"\x00" * 20)
+        mm.decode_media(b"RIFF\x04\x00\x00\x00ACON" + b"\x00" * 20)
+    with pytest.raises(ValueError, match="corrupt WebP"):  # WebP walks now
+        mm.decode_media(b"RIFF\x14\x00\x00\x00WEBP" + b"\x00" * 20)
     with pytest.raises(ValueError, match="corrupt AVI"):  # AVI is real now
         mm.decode_media(b"RIFF\x14\x00\x00\x00AVI " + b"\x00" * 20)
     from pdf_parser_spark.jpegcore import JpegError
@@ -142,3 +144,30 @@ def test_real_mp4_metadata():
     with pytest.raises(ValueError, match="bad box size"):
         mm.decode_media(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00"
                         b"\xff\xff\xff\xffmoov")
+
+
+def test_webp_metadata_walk():
+    """Real WebP container walk: VP8 (lossy), VP8L (lossless), VP8X
+    (extended) all yield true dimensions; pixel decode stays gated."""
+    import struct as _s
+
+    def riff(payload):
+        return b"RIFF" + _s.pack("<I", 4 + len(payload)) + b"WEBP" + payload
+
+    # VP8 lossy: 3-byte frame tag + 9d 01 2a + 14-bit w/h
+    vp8 = b"\x00\x00\x00" + b"\x9d\x01\x2a" + _s.pack("<HH", 320, 240)
+    blob = riff(b"VP8 " + _s.pack("<I", len(vp8)) + vp8)
+    m = mm.decode_media(blob)
+    assert (m["kind"], m["width"], m["height"]) == ("image", 320, 240)
+    # VP8L lossless: 0x2f + packed (w-1, h-1)
+    bits = (199) | (99 << 14)
+    vp8l = bytes([0x2F]) + _s.pack("<I", bits)
+    m = mm.decode_media(riff(b"VP8L" + _s.pack("<I", len(vp8l)) + vp8l))
+    assert (m["width"], m["height"]) == (200, 100)
+    # VP8X extended: flags(4) + 24-bit canvas w-1/h-1
+    vp8x = b"\x00\x00\x00\x00" + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    m = mm.decode_media(riff(b"VP8X" + _s.pack("<I", len(vp8x)) + vp8x))
+    assert (m["width"], m["height"]) == (640, 480)
+    # pixel decode is gated with a typed error, never fake pixels
+    with pytest.raises(NotImplementedError, match="pixel decode"):
+        mm.resize_image(blob, 2, 2)
