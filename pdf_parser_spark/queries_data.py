@@ -876,6 +876,100 @@ FROM base
 
 
 # ----------------------------------------------------------------------
+# line-level boilerplate detection + per-domain corpus stats (round 3)
+# ----------------------------------------------------------------------
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document line dedup: planted chrome lines
+    (newsletter banner on doc_id%7, cookie notice on doc_id%5) must
+    surface with exact doc/occurrence counts; natural token-soup lines
+    only qualify if they genuinely repeat across ≥3 documents."""
+    k = F.col("doc_id")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(k % 7 == 0, F.lit("\nsubscribe to our newsletter today"))
+            .otherwise(F.lit("")),
+            F.when(k % 5 == 0, F.lit("\naccept all cookies to continue"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = textops.boilerplate_lines(d, min_docs=3)
+    return out.select(
+        "line",
+        F.col("n_docs").cast("int").alias("n_docs"),
+        F.col("n_occurrences").cast("int").alias("n_occurrences"),
+    )
+
+
+SQL_BOILERPLATE_LINES = """
+WITH corpus AS (
+  SELECT doc_id, text
+      || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END)
+      || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'accept all cookies to continue' ELSE '' END) AS text
+  FROM documents
+),
+ln AS (
+  SELECT doc_id, trim(l) AS line
+  FROM corpus, unnest(string_split(text, chr(10))) AS t(l)
+)
+SELECT line, CAST(count(DISTINCT doc_id) AS INT) AS n_docs,
+       CAST(count(*) AS INT) AS n_occurrences
+FROM ln WHERE line <> '' GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+"""
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain stats (the CCNet/C4 quota grouping unit)
+    over deterministically synthesized urls: hosts spread over 23 sites
+    × {www., bare} × {.co.uk, .com}, so the public-suffix heuristic
+    (3 labels for co.uk-style, 2 otherwise) is live in the oracle."""
+    k = F.col("doc_id")
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(k % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"), (k % 23).cast("string"),
+        F.when(k % 2 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.lit("/p/"), k.cast("string"),
+    )
+    out = textops.domain_stats(d.select(url.alias("url"), "n_chars"))
+    return out.select(
+        "domain",
+        F.col("n_hosts").cast("int").alias("n_hosts"),
+        F.col("n_docs").cast("int").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+    )
+
+
+SQL_DOMAIN_STATS = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+         || 'site' || CAST(doc_id % 23 AS VARCHAR)
+         || (CASE WHEN doc_id % 2 = 0 THEN '.co.uk' ELSE '.com' END)
+         || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+h AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host, n_chars FROM d
+),
+r AS (
+  SELECT host, n_chars,
+         CASE WHEN len(p) >= 3 AND p[-2] IN ('co','ac','gov','org','net')
+              THEN array_to_string(p[-3:], '.')
+              WHEN len(p) >= 2 THEN array_to_string(p[-2:], '.')
+              ELSE host END AS domain
+  FROM (SELECT host, n_chars, string_split(host, '.') AS p FROM h)
+)
+SELECT domain, CAST(count(DISTINCT host) AS INT) AS n_hosts,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM r GROUP BY domain
+"""
+
+
+# ----------------------------------------------------------------------
 # real-PNG round trip: encode from text bytes → decode → metadata+sums
 # ----------------------------------------------------------------------
 def _oracle_bytes(doc_id: int, text) -> bytes:
@@ -1301,6 +1395,8 @@ def data_queries():
         "corpus_select": q_corpus_select,
         "pii_redaction": q_pii_redaction,
         "repetition_signals": q_repetition_signals,
+        "boilerplate_lines": q_boilerplate_lines,
+        "domain_stats": q_domain_stats,
         "json_props": q_json_props,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_resize": q_multimodal_resize,
@@ -1343,6 +1439,8 @@ def data_oracle_sql():
         "corpus_select": _sql_corpus_select(),
         "pii_redaction": _sql_pii_redaction(),
         "repetition_signals": _sql_repetition_signals(),
+        "boilerplate_lines": SQL_BOILERPLATE_LINES,
+        "domain_stats": SQL_DOMAIN_STATS,
         "json_props": SQL_JSON_PROPS,
         "multimodal_metadata": SQL_MULTIMODAL_METADATA,
         "multimodal_resize": _sql_multimodal_resize(),

@@ -575,3 +575,61 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
         n_bg.cast("int").alias("n_bigrams"),
         F.round(top_frac, 6).alias("top_bigram_frac"),
     )
+
+
+def boilerplate_lines(
+    df: DataFrame, min_docs: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style line-level boilerplate detection: trimmed non-empty
+    lines occurring in ≥ ``min_docs`` DISTINCT documents (navigation
+    chrome, cookie banners, footers at corpus scale).
+
+    One explode + ONE groupBy shuffle on the line key with map-side
+    partial aggregation; the distinct-doc count uses count_distinct
+    inside the same aggregation (no second shuffle). Line keys are
+    bounded by document line length, so no skew guard is needed beyond
+    the hash partitioning itself — a pathological mega-line (e.g. ''
+    after trim) is filtered before the shuffle."""
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
+    ).select("doc_id", F.trim(F.col("_raw")).alias("line")).filter(F.col("line") != "")
+    return (
+        lines.groupBy("line")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registered-domain corpus statistics (the CCNet/C4 grouping
+    unit for quotas and per-site quality decisions): host extraction,
+    a public-suffix HEURISTIC (last 3 labels when the 2-level suffix is
+    co.uk-style, else last 2), distinct hosts, docs, total chars.
+
+    All native expressions; one groupBy shuffle on the domain key."""
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    two_level = F.element_at(parts, -2).isin("co", "ac", "gov", "org", "net") & (n >= 3)
+    reg = F.when(
+        two_level, F.array_join(F.slice(parts, n - 2, 3), ".")
+    ).otherwise(
+        F.when(n >= 2, F.array_join(F.slice(parts, n - 1, 2), ".")).otherwise(host)
+    )
+    return (
+        df.select(
+            host.alias("host"),
+            reg.alias("domain"),
+            F.col("n_chars"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.countDistinct("host").alias("n_hosts"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -208,3 +208,38 @@ def test_exact_duplicates_without_ids(spark, docs):
     assert len(groups) == 1
     assert groups[0]["canonical_id"] == 0 and groups[0]["n_docs"] == 2
     assert "doc_ids" not in groups[0].asDict()
+
+
+def test_boilerplate_lines_detects_planted_chrome(spark):
+    from pdf_parser_spark.textops import boilerplate_lines
+
+    rows = [(i, f"unique line {i}\n" + ("JOIN OUR LIST" if i % 2 == 0 else f"tail {i}"))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["line"]: r for r in boilerplate_lines(df, min_docs=3).collect()}
+    assert set(got) == {"JOIN OUR LIST"}
+    assert got["JOIN OUR LIST"]["n_docs"] == 5
+    assert got["JOIN OUR LIST"]["n_occurrences"] == 5
+    # duplicate occurrences within ONE doc do not fake cross-doc reach
+    df2 = spark.createDataFrame(
+        [(1, "x\nx\nx\nx"), (2, "y")], "doc_id long, text string"
+    )
+    assert boilerplate_lines(df2, min_docs=3).count() == 0
+
+
+def test_domain_stats_public_suffix_heuristic(spark):
+    from pdf_parser_spark.textops import domain_stats
+
+    rows = [
+        ("https://www.shop.example.co.uk/a", 10),
+        ("https://cdn.example.co.uk/b", 20),
+        ("https://example.com/c", 30),
+        ("https://www.example.com/d", 40),
+        ("https://one.org/e", 5),
+    ]
+    df = spark.createDataFrame(rows, "url string, n_chars long")
+    got = {r["domain"]: r for r in domain_stats(df).collect()}
+    assert got["example.co.uk"]["n_hosts"] == 2  # www.shop... and cdn...
+    assert got["example.co.uk"]["total_chars"] == 30
+    assert got["example.com"]["n_docs"] == 2 and got["example.com"]["n_hosts"] == 2
+    assert got["one.org"]["n_docs"] == 1
