@@ -154,6 +154,7 @@ def run_extraction_with_audit(
     run_id: str,
     n_buckets: int = 8,
     mode: str = "first_valid",
+    decrypt: bool = False,
     buckets: Optional[List[int]] = None,
     recovery: bool = False,
 ) -> dict:
@@ -192,7 +193,8 @@ def run_extraction_with_audit(
         for b in todo:
             part = bucketed.filter(F.col(BUCKET_COL) == b)
             ext = extract_documents(
-                part.select("url", "warc_ts", "html", "text", "lang"), mode=mode
+                part.select("url", "warc_ts", "html", "text", "lang"), mode=mode,
+                decrypt=decrypt,
             )
             # 1) data commit (idempotent per-bucket overwrite)
             ext.write.mode("overwrite").parquet(os.path.join(data_path, f"bucket={b}"))
@@ -211,7 +213,8 @@ def run_extraction_with_audit(
         F.col(BUCKET_COL).isin([int(b) for b in todo])
     )
     ext = extract_documents(
-        pending.select("url", "warc_ts", "html", "text", "lang"), mode=mode
+        pending.select("url", "warc_ts", "html", "text", "lang"), mode=mode,
+        decrypt=decrypt,
     ).withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -58,6 +58,12 @@ def main(argv=None) -> int:
         help="fine-grained commit-per-bucket loop (surgical re-runs); "
         "default is the one-pass dynamic-partition-overwrite batch",
     )
+    p.add_argument(
+        "--decrypt",
+        action="store_true",
+        help="open standard-security-handler PDFs (RC4/AESV2/AESV3, empty "
+        "user password) instead of emitting typed 'encrypted' rows",
+    )
     p.add_argument("--bench", action="store_true", help="print docs/sec JSON line")
     args = p.parse_args(argv)
 
@@ -88,6 +94,7 @@ def main(argv=None) -> int:
             n_buckets=args.buckets,
             mode=args.mode,
             recovery=args.recovery,
+            decrypt=args.decrypt,
         )
         docs = result["metrics"]["docs"]
     wall = time.time() - t0

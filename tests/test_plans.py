@@ -110,3 +110,30 @@ def test_corpus_select_join_free(spark):
     p = plan_of(qd2.q_corpus_select(spark, SF))
     assert "Join" not in p
     assert "partial_min_by" in p  # the dedup agg map-side combine
+
+
+def _agg_exchanges(p: str) -> int:
+    """Count DISTINCT Exchange nodes in the tree section, excluding the
+    _docs() input-spread repartition (RoundRobin/hash on doc_id only)."""
+    nodes = [l for l in p.splitlines() if l.lstrip().startswith(("+- Exchange", "Exchange ("))
+             and "(" in l]
+    # tree lines look like '+- Exchange (9)'; detail lines '(9) Exchange'
+    tree = [l for l in p.splitlines() if "+- Exchange (" in l or l.startswith("Exchange (")]
+    return len(tree)
+
+
+def test_boilerplate_lines_distinct_agg_shape(spark):
+    """Line-level dedup: because the input is already hash-partitioned
+    by doc_id, the (line, doc_id) distinct phase is PARTITION-LOCAL —
+    only the final merge shuffles on line. Input spread + ONE aggregate
+    exchange, map-side partials, no Python."""
+    p = plan_of(qd.q_boilerplate_lines(spark, SF))
+    assert _agg_exchanges(p) == 2  # input spread + final line shuffle
+    assert "partial_count" in p  # map-side combine before the shuffle
+    assert "Python" not in p  # explode/trim/filter stay native
+
+
+def test_domain_stats_distinct_agg_shape_no_udf(spark):
+    p = plan_of(qd.q_domain_stats(spark, SF))
+    assert _agg_exchanges(p) == 3  # input spread + the distinct-agg pair
+    assert "Python" not in p  # host/suffix parsing stays native
