@@ -969,6 +969,64 @@ FROM r GROUP BY domain
 """
 
 
+def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation quota: the top-5 documents per registered domain by
+    (n_chars DESC, doc_id ASC — unique tiebreak makes the order total),
+    via the SKEW-SAFE salted two-stage top-K (textops.top_k_per_key) —
+    a mega-domain never serializes into one task. The result is
+    independent of the salting, which the oracle proves: DuckDB
+    computes the same rows with one plain QUALIFY window."""
+    k = F.col("doc_id")
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(k % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"), (k % 23).cast("string"),
+        F.when(k % 2 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.lit("/p/"), k.cast("string"),
+    )
+    host = F.regexp_extract(url, r"^[a-z]+://([^/]+)", 1)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    two_level = F.element_at(parts, -2).isin("co", "ac", "gov", "org", "net") & (n >= 3)
+    domain = F.when(two_level, F.array_join(F.slice(parts, n - 2, 3), ".")).otherwise(
+        F.when(n >= 2, F.array_join(F.slice(parts, n - 1, 2), ".")).otherwise(host)
+    )
+    staged = d.select("doc_id", "n_chars", domain.alias("domain"))
+    out = textops.top_k_per_key(
+        staged, ["domain"], [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=5, tiebreak_col="doc_id",
+    )
+    return out.select("domain", "doc_id", "n_chars", F.col("rank").cast("int").alias("rank"))
+
+
+SQL_DOMAIN_QUOTA_SAMPLE = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+         || 'site' || CAST(doc_id % 23 AS VARCHAR)
+         || (CASE WHEN doc_id % 2 = 0 THEN '.co.uk' ELSE '.com' END)
+         || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN len(p) >= 3 AND p[-2] IN ('co','ac','gov','org','net')
+              THEN array_to_string(p[-3:], '.')
+              WHEN len(p) >= 2 THEN array_to_string(p[-2:], '.')
+              ELSE host END AS domain
+  FROM (SELECT doc_id, n_chars,
+               regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+               string_split(regexp_extract(url, '^[a-z]+://([^/]+)', 1), '.') AS p
+        FROM d)
+)
+SELECT domain, doc_id, n_chars,
+       CAST(row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+FROM r
+QUALIFY rank <= 5
+"""
+
+
 # ----------------------------------------------------------------------
 # real-PNG round trip: encode from text bytes → decode → metadata+sums
 # ----------------------------------------------------------------------
@@ -1397,6 +1455,7 @@ def data_queries():
         "repetition_signals": q_repetition_signals,
         "boilerplate_lines": q_boilerplate_lines,
         "domain_stats": q_domain_stats,
+        "domain_quota_sample": q_domain_quota_sample,
         "json_props": q_json_props,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_resize": q_multimodal_resize,
@@ -1441,6 +1500,7 @@ def data_oracle_sql():
         "repetition_signals": _sql_repetition_signals(),
         "boilerplate_lines": SQL_BOILERPLATE_LINES,
         "domain_stats": SQL_DOMAIN_STATS,
+        "domain_quota_sample": SQL_DOMAIN_QUOTA_SAMPLE,
         "json_props": SQL_JSON_PROPS,
         "multimodal_metadata": SQL_MULTIMODAL_METADATA,
         "multimodal_resize": _sql_multimodal_resize(),

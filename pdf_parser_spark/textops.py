@@ -633,3 +633,40 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+def top_k_per_key(
+    df: DataFrame,
+    key_cols: List[str],
+    order_cols: List[Column],
+    k: int,
+    tiebreak_col: str,
+    n_salt: int = 8,
+) -> DataFrame:
+    """Skew-safe per-key top-K (corpus curation quota: "best K docs per
+    domain"). A single ``row_number`` window over the key is the
+    textbook skew trap — one giant key (a mega-domain at 10^12 docs)
+    serializes into one task. Two stages instead:
+
+    1. partial top-K within (key, salt) — every task holds ≤ its own
+       slice, salt = hash(tiebreak) % n_salt (deterministic);
+    2. exact top-K over the ≤ k·n_salt survivors per key.
+
+    ``order_cols`` MUST be made total by including ``tiebreak_col``
+    (unique), or tied rows get engine-dependent ranks (the repo's
+    ROWS/RANGE lesson). The result is independent of ``n_salt``."""
+    from pyspark.sql.window import Window
+
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(n_salt))
+    )
+    w1 = Window.partitionBy(*key_cols, "_salt").orderBy(*order_cols)
+    pruned = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return pruned.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

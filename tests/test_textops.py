@@ -243,3 +243,28 @@ def test_domain_stats_public_suffix_heuristic(spark):
     assert got["example.co.uk"]["total_chars"] == 30
     assert got["example.com"]["n_docs"] == 2 and got["example.com"]["n_hosts"] == 2
     assert got["one.org"]["n_docs"] == 1
+
+
+def test_top_k_per_key_salt_invariance(spark):
+    """The salted two-stage top-K must return EXACTLY the plain-window
+    answer for every n_salt (skew safety cannot change results)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pdf_parser_spark.textops import top_k_per_key
+
+    rows = [(i, f"k{i % 3}", (i * 37) % 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, key string, score long")
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    w = Window.partitionBy("key").orderBy(*order)
+    want = {
+        (r["key"], r["doc_id"], r["rank"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7).collect()
+    }
+    for n_salt in (1, 2, 8, 32):
+        got = {
+            (r["key"], r["doc_id"], r["rank"])
+            for r in top_k_per_key(df, ["key"], order, 7, "doc_id", n_salt=n_salt).collect()
+        }
+        assert got == want, f"n_salt={n_salt}"
