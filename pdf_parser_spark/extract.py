@@ -91,19 +91,23 @@ def _extract_one(blob: Optional[bytes], mode: str, want_text: bool = True,
             out["n_items"] = sum(len(p.items) for p in doc.pages)
             return out
         # doc text + per-item spans (character offsets into doc text),
-        # PACKED [s0,e0,s1,e1,...] — see schema.SPAN_ARRAY_TYPE
+        # PACKED [s0,e0,s1,e1,...] — see schema.SPAN_ARRAY_TYPE.
+        # Separators are tracked per STRUCTURE, not per item: every page
+        # boundary contributes its '\f' (EMPTY degraded pages included —
+        # the old per-item +1 silently shifted every later span by one
+        # char per empty page), every within-page item boundary its '\n'
         spans: List[int] = []
-        parts: List[str] = []
         offset = 0
         n_items = 0
         for pi, page in enumerate(doc.pages):
-            for it in page.items:
-                if parts:
-                    offset += 1  # '\n' between items, '\f' between pages
+            if pi:
+                offset += 1  # the '\f' between pages, even empty ones
+            for j, it in enumerate(page.items):
+                if j:
+                    offset += 1  # '\n' between items within a page
                 end = offset + len(it.str)
                 spans.append(offset)
                 spans.append(end)
-                parts.append(it.str)
                 offset = end
                 n_items += 1
         # reassemble with the same separators as PdfDocument.text()

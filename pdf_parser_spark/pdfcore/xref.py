@@ -235,8 +235,10 @@ class ObjectStore:
             except LexError as e:
                 raise XrefError(f"object {num} unparseable: {e}") from None
             if onum != num:
-                # stale offset: fall back to scan
-                val = self._scan_for_object(num)
+                # stale offset: fall back to scan (gen comes from the
+                # RECOVERED object — decrypting with the mismatched
+                # object's gen would derive the wrong per-object key)
+                ogen, val = self._scan_for_object(num)
             if isinstance(val, StreamObj):
                 length = val.dict.get("Length")
                 if isinstance(length, Ref):
@@ -254,15 +256,16 @@ class ObjectStore:
         self._cache[num] = val
         return val
 
-    def _scan_for_object(self, num: int) -> Any:
+    def _scan_for_object(self, num: int) -> Tuple[int, Any]:
+        """→ (gen, value) of the recovered object."""
         import re
 
         pat = re.compile(rb"\b" + str(num).encode() + rb"\s+\d+\s+obj\b")
         for m in pat.finditer(self.data):
             try:
-                onum, _, val = parse_object_at(self.data, m.start())
+                onum, ogen, val = parse_object_at(self.data, m.start())
                 if onum == num:
-                    return val
+                    return ogen, val
             except LexError:
                 continue
         raise XrefError(f"object {num} not found by scan")

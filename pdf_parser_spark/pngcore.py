@@ -124,6 +124,8 @@ def decode_png(data: bytes) -> Dict:
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # skip CRC (tolerated, not verified)
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise PngError("no_ihdr", f"IHDR length {len(body)} != 13")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"PLTE":
             plte = body

@@ -985,14 +985,10 @@ def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 2 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
         F.lit("/p/"), k.cast("string"),
     )
-    host = F.regexp_extract(url, r"^[a-z]+://([^/]+)", 1)
-    parts = F.split(host, r"\.")
-    n = F.size(parts)
-    two_level = F.element_at(parts, -2).isin("co", "ac", "gov", "org", "net") & (n >= 3)
-    domain = F.when(two_level, F.array_join(F.slice(parts, n - 2, 3), ".")).otherwise(
-        F.when(n >= 2, F.array_join(F.slice(parts, n - 1, 2), ".")).otherwise(host)
+    staged = d.select(
+        "doc_id", "n_chars",
+        textops.registered_domain_col(textops.host_col(url)).alias("domain"),
     )
-    staged = d.select("doc_id", "n_chars", domain.alias("domain"))
     out = textops.top_k_per_key(
         staged, ["domain"], [F.col("n_chars").desc(), F.col("doc_id").asc()],
         k=5, tiebreak_col="doc_id",

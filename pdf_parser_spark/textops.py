@@ -604,26 +604,37 @@ def boilerplate_lines(
     )
 
 
-def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Per-registered-domain corpus statistics (the CCNet/C4 grouping
-    unit for quotas and per-site quality decisions): host extraction,
-    a public-suffix HEURISTIC (last 3 labels when the 2-level suffix is
-    co.uk-style, else last 2), distinct hosts, docs, total chars.
+def host_col(url: Column) -> Column:
+    """scheme://HOST/... → HOST (native regexp, no UDF)."""
+    return F.regexp_extract(url, r"^[a-z]+://([^/]+)", 1)
 
-    All native expressions; one groupBy shuffle on the domain key."""
-    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+
+def registered_domain_col(host: Column) -> Column:
+    """Public-suffix HEURISTIC: last 3 labels when the 2-level suffix
+    is co.uk-style, else last 2 (the single source of truth — the
+    domain_stats and domain_quota_sample queries and their SQL twins
+    must all track THIS definition)."""
     parts = F.split(host, r"\.")
     n = F.size(parts)
     two_level = F.element_at(parts, -2).isin("co", "ac", "gov", "org", "net") & (n >= 3)
-    reg = F.when(
+    return F.when(
         two_level, F.array_join(F.slice(parts, n - 2, 3), ".")
     ).otherwise(
         F.when(n >= 2, F.array_join(F.slice(parts, n - 1, 2), ".")).otherwise(host)
     )
+
+
+def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registered-domain corpus statistics (the CCNet/C4 grouping
+    unit for quotas and per-site quality decisions): distinct hosts,
+    docs, total chars.
+
+    All native expressions; one groupBy shuffle on the domain key."""
+    host = host_col(F.col(url_col))
     return (
         df.select(
             host.alias("host"),
-            reg.alias("domain"),
+            registered_domain_col(host).alias("domain"),
             F.col("n_chars"),
         )
         .groupBy("domain")

@@ -248,3 +248,29 @@ def test_meta_output_mode_matches_full(spark, pages_parquet):
                 assert mr[c] == fr[c], (url, c)
     schema_names = {f.name for f in extract_documents(pages, output="meta").schema.fields}
     assert schema_names.isdisjoint({"text", "spans", "meta_items"})
+
+
+def test_spans_align_across_empty_pages(spark):
+    """Round-3 review fix: a degraded/empty page still contributes its
+    '\\f' separator to the doc text, so spans after it must account for
+    it (the old per-item +1 shifted every later span left by one char
+    per empty page)."""
+    from pdf_parser_spark.extract import extract_documents
+    from pdf_parser_spark.synth.pdfgen import PdfBuilder
+
+    b = PdfBuilder()
+    b.new_page().text(72, 720, "first page text")
+    b.new_page()  # EMPTY page: no items, but '\f' separators around it
+    b.new_page().text(72, 720, "third page text")
+    pages = spark.createDataFrame(
+        [("u://1", None, b.build(), None, "en")],
+        "url string, warc_ts timestamp_ntz, html binary, text string, lang string",
+    )
+    row = extract_documents(pages).collect()[0]
+    assert row["error_code"] is None and row["n_pages"] == 3
+    text, sp = row["text"], row["spans"]
+    assert text == "first page text\f\fthird page text"
+    assert len(sp) == 4
+    for s, e in zip(sp[0::2], sp[1::2]):
+        assert text[s:e] in ("first page text", "third page text")
+    assert text[sp[2]:sp[3]] == "third page text"

@@ -73,6 +73,10 @@ def test_spark_stage_error_rows(spark):
         (2, b"\xff\xd8\xffJPEG"),          # corrupt JPEG → error row
         (3, b"garbage-bytes"),
         (4, b"\x89PNG\r\n\x1a\n" + b"\x00" * 4),  # corrupt PNG → error row
+        # review-found crash classes: short SOF body / short IHDR used
+        # to raise struct.error and KILL the task instead of erroring
+        (5, b"\xff\xd8\xff\xc0\x00\x05\x08\x00\x10"),
+        (6, b"\x89PNG\r\n\x1a\n" + bytes.fromhex("00000005") + b"IHDR\x00\x00\x00\x00\x00"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, media binary")
     got = {r["doc_id"]: r for r in mm.media_metadata(df).collect()}
@@ -80,6 +84,8 @@ def test_spark_stage_error_rows(spark):
     assert "overruns" in got[2]["error"]  # corrupt JPEG → typed error row
     assert "unknown media container" in got[3]["error"]
     assert "IHDR" in got[4]["error"]
+    assert got[5]["error"] is not None  # malformed SOF → row, not crash
+    assert got[6]["error"] is not None  # short IHDR → row, not crash
 
 
 def test_real_wav_decode():

@@ -147,3 +147,13 @@ def test_adam7_truncated_is_typed_error():
     with pytest.raises(PngError) as ei:
         decode_png(rebuilt)
     assert ei.value.code == "truncated"
+
+
+def test_short_ihdr_typed_error():
+    """Round-3 review fix: IHDR with declared length != 13 is a typed
+    PngError, never struct.error."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    blob = sig + _chunk(b"IHDR", b"\x00\x00\x00\x05\x00") + _chunk(b"IEND", b"")
+    with pytest.raises(PngError) as ei:
+        decode_png(blob)
+    assert ei.value.code == "no_ihdr"
