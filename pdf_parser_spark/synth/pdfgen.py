@@ -151,9 +151,16 @@ class PdfBuilder:
     """Assembles objects into a full PDF file."""
 
     def __init__(self, compress: bool = False, xref_stream: bool = False,
-                 encrypt_rc4: Optional[dict] = None):
+                 encrypt_rc4: Optional[dict] = None, objstm: bool = False):
+        if objstm and not xref_stream:
+            raise ValueError("objstm requires xref_stream (type-2 entries)")
         self.compress = compress
         self.xref_stream = xref_stream
+        # objstm: pack every non-stream object into ONE /Type /ObjStm
+        # (the modern-PDF default layout; with encryption the container
+        # stream is encrypted and its members stay plaintext, per spec)
+        self.objstm = objstm
+        self._objstm_entries: Dict[int, Tuple[int, int]] = {}
         # encrypt_rc4: e.g. {'r': 3, 'length': 128} — synthesize a
         # standard-security-handler document (empty user password) so
         # the pdfcore RC4 decrypt path has real fixtures to chew on
@@ -235,6 +242,35 @@ end""".encode()
             f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
         )
         catalog_id = self._add(f"<< /Type /Catalog /Pages {pages_id} 0 R >>".encode())
+
+        self._objstm_entries = {}
+        if self.objstm:
+            # pack BEFORE encryption: members are stored plaintext
+            # inside the container, which is then encrypted as a stream
+            members = [
+                (num, body) for num, body in enumerate(self.objects)
+                if num and body is not None and b"\nstream\n" not in body
+            ]
+            payload = bytearray()
+            pairs = []
+            for num, body in members:
+                pairs.append((num, len(payload)))
+                payload += body + b"\n"
+            hdr = " ".join(f"{n} {o}" for n, o in pairs).encode() + b"\n"
+            data = bytes(hdr) + bytes(payload)
+            filt = ""
+            if self.compress:
+                data = zlib.compress(data)
+                filt = " /Filter /FlateDecode"
+            stm_id = len(self.objects)
+            self.objects.append(
+                (f"<< /Type /ObjStm /N {len(pairs)} /First {len(hdr)}"
+                 f" /Length {len(data)}{filt} >>").encode()
+                + b"\nstream\n" + data + b"\nendstream"
+            )
+            for idx, (num, _) in enumerate(members):
+                self.objects[num] = None
+                self._objstm_entries[num] = (stm_id, idx)
 
         enc_id = None
         extra_trailer = ""
@@ -324,8 +360,12 @@ end""".encode()
             widths = (1, 4, 2)
             rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
             for num in range(1, xref_id):
-                off = offsets.get(num, 0)
-                rows += bytes([1]) + off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+                if num in self._objstm_entries:
+                    stm, idx = self._objstm_entries[num]
+                    rows += bytes([2]) + stm.to_bytes(4, "big") + idx.to_bytes(2, "big")
+                else:
+                    off = offsets.get(num, 0)
+                    rows += bytes([1]) + off.to_bytes(4, "big") + (0).to_bytes(2, "big")
             xref_off = len(out)
             rows += bytes([1]) + xref_off.to_bytes(4, "big") + (0).to_bytes(2, "big")
             data = zlib.compress(bytes(rows))
@@ -423,10 +463,15 @@ def make_quote_pdf(i: int) -> Tuple[bytes, str, str]:
     """Build quote PDF #i. Returns (pdf_bytes, golden_doc_text, golden_whitetext).
 
     Structural variant cycles through: uncompressed / flate / xref-stream /
-    multi-page-with-metadata-on-page-2 / ToUnicode-font body.
+    multi-page-with-metadata-on-page-2 / ToUnicode-font body /
+    object-stream (ObjStm) layout.
     """
-    variant = i % 5
-    b = PdfBuilder(compress=variant in (1, 3), xref_stream=variant == 2)
+    variant = i % 6
+    b = PdfBuilder(
+        compress=variant in (1, 3, 5),
+        xref_stream=variant in (2, 5),
+        objstm=variant == 5,
+    )
     meta = quote_metadata_string(i)
 
     p1 = b.new_page()

@@ -403,3 +403,36 @@ def test_aes_encrypted_pdf_decrypts_byte_identical(enc, xs):
     assert doc.decrypted
     assert doc.text() == b.golden_doc_text()
     assert doc.pages[0].whitetext_metadata() == b.golden_whitetext()
+
+
+def test_objstm_layout_roundtrip():
+    """Variant 5 (round 3): every non-stream object lives in ONE
+    /Type /ObjStm with type-2 xref-stream entries — the modern-PDF
+    default layout — and parses byte-identically."""
+    blob, golden_text, golden_white = make_quote_pdf(5)
+    assert b"/Type /ObjStm" in blob
+    doc = parse_pdf(blob)
+    assert doc.text() == golden_text
+    assert doc.pages[0].whitetext_metadata() == golden_white
+    assert doc.decode_fallbacks == 0
+
+
+@pytest.mark.parametrize("enc", [
+    {"r": 3, "length": 128}, {"mode": "aesv2"}, {"mode": "aesv3", "r": 6},
+])
+def test_objstm_encrypted_roundtrip(enc):
+    """Encryption x ObjStm interaction (the common modern case): the
+    container stream is encrypted under its own object key, members
+    stay plaintext inside it — decode must be byte-identical."""
+    b = PdfBuilder(compress=True, xref_stream=True, objstm=True, encrypt_rc4=enc)
+    pg = b.new_page()
+    pg.text(72, 720, "objstm secret body")
+    pg.white_text("Name_of_Prospect: Obj||Zip_Code: 00001")
+    pdf = b.build()
+    with pytest.raises(PdfError) as ei:
+        parse_pdf(pdf)
+    assert ei.value.code == "encrypted"
+    doc = parse_pdf(pdf, decrypt=True)
+    assert doc.decrypted
+    assert doc.text() == b.golden_doc_text()
+    assert doc.pages[0].whitetext_metadata() == b.golden_whitetext()
