@@ -126,6 +126,24 @@ class StandardSecurityHandler:
             self.cipher = "aes128" if cfm == "AESV2" else "rc4"
             self._init_md5_family(encrypt, length_bits)
         elif v == 5 and r in (5, 6):
+            # Mirror the V4 branch's /CF scrutiny: a V5 dict whose crypt
+            # filter is not AESV3 (e.g. /CFM /Identity) must raise the
+            # typed error, not be "decrypted" into garbage.
+            cf = encrypt.get("CF")
+            if isinstance(cf, dict):
+                std = cf.get("StdCF")
+                if not isinstance(std, dict):
+                    raise CryptError("cf", "V5 /CF without a /StdCF crypt filter")
+                cfm = str(std.get("CFM", ""))
+                if cfm != "AESV3":
+                    raise CryptError("cf", f"V5 requires /CFM AESV3, got {cfm!r}")
+                stmf = str(encrypt.get("StmF", "Identity"))
+                strf = str(encrypt.get("StrF", "Identity"))
+                if stmf != "StdCF" or strf != "StdCF":
+                    raise CryptError(
+                        "cf",
+                        f"only StmF=StrF=StdCF supported (StmF={stmf} StrF={strf})",
+                    )
             self.cipher = "aes256"
             self._init_aes256(encrypt)
         else:

@@ -616,7 +616,13 @@ def registered_domain_col(host: Column) -> Column:
     must all track THIS definition)."""
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    two_level = F.element_at(parts, -2).isin("co", "ac", "gov", "org", "net") & (n >= 3)
+    # try_element_at, not element_at: `&` does not short-circuit, so a
+    # single-label host ("localhost", n=1) would make element_at(parts, -2)
+    # out-of-range — an ANSI-mode error on the driver's plain Spark 4
+    # session (ANSI is the default there; our own builder disables it).
+    two_level = F.try_element_at(parts, F.lit(-2)).isin(
+        "co", "ac", "gov", "org", "net"
+    ) & (n >= 3)
     return F.when(
         two_level, F.array_join(F.slice(parts, n - 2, 3), ".")
     ).otherwise(

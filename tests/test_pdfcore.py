@@ -436,3 +436,23 @@ def test_objstm_encrypted_roundtrip(enc):
     assert doc.decrypted
     assert doc.text() == b.golden_doc_text()
     assert doc.pages[0].whitetext_metadata() == b.golden_whitetext()
+
+
+def test_v5_non_aesv3_crypt_filter_raises_typed():
+    """A V5 dict whose /CF names a non-AESV3 filter (e.g. /Identity) must
+    raise the typed CryptError, never be 'decrypted' into garbage
+    (round-3 ADVICE: the V5 branch skipped the /CF scrutiny V4 gets)."""
+    from pdf_parser_spark.pdfcore.crypt import CryptError, StandardSecurityHandler
+
+    enc = {
+        "Filter": "Standard", "V": 5, "R": 6, "P": -4,
+        "O": b"\x00" * 48, "U": b"\x00" * 48, "UE": b"\x00" * 32, "OE": b"\x00" * 32,
+        "CF": {"StdCF": {"CFM": "Identity"}}, "StmF": "StdCF", "StrF": "StdCF",
+    }
+    with pytest.raises(CryptError) as ei:
+        StandardSecurityHandler(enc, b"\x01" * 16)
+    assert ei.value.code == "cf"
+    enc2 = dict(enc, CF={"StdCF": {"CFM": "AESV3"}}, StmF="Identity")
+    with pytest.raises(CryptError) as ei2:
+        StandardSecurityHandler(enc2, b"\x01" * 16)
+    assert ei2.value.code == "cf"

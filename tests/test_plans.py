@@ -113,10 +113,8 @@ def test_corpus_select_join_free(spark):
 
 
 def _agg_exchanges(p: str) -> int:
-    """Count DISTINCT Exchange nodes in the tree section, excluding the
-    _docs() input-spread repartition (RoundRobin/hash on doc_id only)."""
-    nodes = [l for l in p.splitlines() if l.lstrip().startswith(("+- Exchange", "Exchange ("))
-             and "(" in l]
+    """Count Exchange nodes in the formatted-plan tree section (INCLUDING
+    the _docs() input-spread repartition — callers budget for it)."""
     # tree lines look like '+- Exchange (9)'; detail lines '(9) Exchange'
     tree = [l for l in p.splitlines() if "+- Exchange (" in l or l.startswith("Exchange (")]
     return len(tree)

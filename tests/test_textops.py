@@ -268,3 +268,33 @@ def test_top_k_per_key_salt_invariance(spark):
             for r in top_k_per_key(df, ["key"], order, 7, "doc_id", n_salt=n_salt).collect()
         }
         assert got == want, f"n_salt={n_salt}"
+
+
+def test_registered_domain_single_label_host_ansi(spark):
+    """'localhost' (one label) must not throw under ANSI mode — the
+    driver's plain Spark 4 session runs ANSI by default and `&` does not
+    short-circuit element_at (round-3 ADVICE)."""
+    df = spark.createDataFrame(
+        [("localhost",), ("a.co.uk",), ("example.com",), ("x.y.z.org",)],
+        ["host"],
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = {
+            r["host"]: r["d"]
+            for r in df.select(
+                "host", textops.registered_domain_col(F.col("host")).alias("d")
+            ).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert rows == {
+        "localhost": "localhost",
+        "a.co.uk": "a.co.uk",
+        "example.com": "example.com",
+        "x.y.z.org": "z.org",
+    }
