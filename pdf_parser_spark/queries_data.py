@@ -457,6 +457,75 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup CLUSTER resolution (the round-3 gap): union the
+    MinHash-LSH and SimHash pair edges, run distributed connected
+    components, emit one row per corpus doc with its cluster and the
+    deterministic min-id canonical keeper."""
+    corpus = _dup_corpus(spark, sf_dir, exact=False)
+    lsh = textops.lsh_band_pairs(corpus, max_bucket_size=50).select("id_a", "id_b")
+    sh = textops.simhash_pairs(textops.simhash(corpus)).select("id_a", "id_b")
+    return textops.dedup_clusters(corpus, lsh.unionByName(sh))
+
+
+def _sql_dedup_clusters() -> str:
+    # reachability closure over the SAME edge SQL the pair queries use;
+    # UNION (set semantics) guarantees termination, MIN(r) per id is the
+    # min-reachable node = the Spark operator's cluster label
+    lsh = _sql_dedup_minhash_lsh()
+    sim = _sql_simhash_pairs()
+    # MATERIALIZED: without it DuckDB inlines the (expensive) minhash /
+    # simhash edge CTEs into the recursive walk and re-evaluates them
+    # every iteration — 64 s vs ~5 s at sf0.001.
+    #
+    # The two ``cN``/``symN`` blocks are star-contraction pre-passes:
+    # with b(x) = min(Γ(x) ∪ {x}), each edge (n,m) is replaced by
+    # n—b(n), m—b(m), b(n)—b(m).  Components are preserved (every
+    # replacement keeps n,m connected; every new edge joins nodes
+    # already connected) and the component minimum m survives (b(m)=m,
+    # and any neighbor x of m has b(x)=m, so m stays a hub).  Without
+    # this, simhash near-CLIQUE families (158k pairs over 5500 docs at
+    # sf0.1) make the reachability walk fan out quadratically per
+    # iteration — 259 s; contracted to stars it's one cheap closure.
+    contract = """
+  SELECT n AS u, b AS v FROM {b} WHERE n <> b
+  UNION
+  SELECT ba.b, bb.b
+  FROM {sym} s JOIN {b} ba ON ba.n = s.src JOIN {b} bb ON bb.n = s.dst
+  WHERE ba.b <> bb.b
+"""
+    bmin = "SELECT src AS n, LEAST(MIN(dst), src) AS b FROM {sym} GROUP BY src"
+    return f"""
+WITH RECURSIVE
+lsh AS MATERIALIZED ({lsh}),
+sim AS MATERIALIZED ({sim}),
+edges0 AS (SELECT id_a, id_b FROM lsh UNION SELECT id_a, id_b FROM sim),
+sym0 AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM edges0
+),
+b0 AS MATERIALIZED ({bmin.format(sym='sym0')}),
+c1 AS MATERIALIZED ({contract.format(b='b0', sym='sym0')}),
+sym1 AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM c1 UNION SELECT v, u FROM c1
+),
+b1 AS MATERIALIZED ({bmin.format(sym='sym1')}),
+c2 AS MATERIALIZED ({contract.format(b='b1', sym='sym1')}),
+sym AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM c2 UNION SELECT v, u FROM c2
+),
+corpus AS MATERIALIZED ({_SQL_NEAR_CORPUS}),
+walk(id, r) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.r
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id, (MIN(r) = id) AS is_canonical
+FROM walk GROUP BY id
+"""
+
+
 # ----------------------------------------------------------------------
 # language id / quality / tokens / fingerprint
 # ----------------------------------------------------------------------
@@ -1435,6 +1504,7 @@ def data_queries():
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -1480,6 +1550,7 @@ def data_oracle_sql():
         "dedup_jaccard": SQL_DEDUP_JACCARD,
         "dedup_simhash": _sql_dedup_simhash(),
         "simhash_pairs": _sql_simhash_pairs(),
+        "dedup_clusters": _sql_dedup_clusters(),
         "language_id": _sql_language_id(),
         "quality_score": _sql_quality_score(),
         "token_counts": SQL_TOKEN_COUNTS,

@@ -356,6 +356,146 @@ def simhash_pairs(
 
 
 # ----------------------------------------------------------------------
+# near-dup cluster resolution (connected components + canonical keeper)
+# ----------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node_id, cluster_id) connected components over an edge list, via
+    alternating **large-star / small-star** (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond").
+
+    The cluster label is the component's minimum node id — fully
+    deterministic regardless of iteration count or partitioning.
+
+    Scale design (the reason this is NOT min-label propagation): a
+    pathological near-dup CHAIN (doc₁~doc₂~…~docₖ) makes label
+    propagation take diameter rounds; star-contraction converges in
+    O(log² n) rounds worst-case and 3-5 rounds on real dedup graphs
+    (dup families are dense). Each round is two groupBy+join passes on
+    the edge key — no driver-side union-find, no collect; the edge set
+    only shrinks toward one star per component. ``localCheckpoint``
+    truncates the iterative lineage so the plan does not grow per round
+    (the classic iterative-Spark blowup).
+
+    Returns one row per node that appears in ≥1 edge, including roots:
+    ``(node_id, cluster_id)``.
+
+    The iteration shuffles are clamped to ``defaultParallelism``
+    partitions for the duration of the loop (conf restored after): the
+    edge set only SHRINKS round over round, so a driver-level
+    ``spark.sql.shuffle.partitions`` sized for the big scan (256 here,
+    thousands on a real cluster) turns ~6 shuffles × ~4 rounds into a
+    sea of empty tasks — pure scheduler overhead at every scale. The
+    clamp tracks cluster size (defaultParallelism = total cores), so it
+    is not a local-mode hack.
+    """
+    spark = pairs.sparkSession
+    e = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(spark.sparkContext.defaultParallelism, 8)),
+    )
+    try:
+        e = _cc_loop(e, max_iter)
+    finally:
+        if old_sp is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    # at the fixpoint every edge is (member, root); roots have no u-row
+    roots = e.select(F.col("v").alias("node_id")).distinct()
+    return (
+        e.select(F.col("u").alias("node_id"), F.col("v").alias("cluster_id"))
+        .union(roots.select("node_id", F.col("node_id").alias("cluster_id")))
+    )
+
+
+def _cc_loop(e: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star rounds until the edge set is
+    stable; every round's result is eagerly checkpointed, so the loop
+    body executes under the caller's scoped shuffle-partition clamp."""
+    prev, prev_n = None, -1
+    for _ in range(max_iter):
+        # large-star: every neighbor LARGER than n links to
+        # m(n) = min(Γ(n) ∪ {n}); invariant u > v holds on the output
+        # because m ≤ n < nb.
+        sym = e.select(F.col("u").alias("n"), F.col("v").alias("nb")).union(
+            e.select(F.col("v").alias("n"), F.col("u").alias("nb"))
+        )
+        mins = sym.groupBy("n").agg(F.min("nb").alias("mn"))
+        ls = (
+            sym.join(mins, "n")
+            .filter(F.col("nb") > F.col("n"))
+            .select(
+                F.col("nb").alias("u"),
+                F.least(F.col("n"), F.col("mn")).alias("v"),
+            )
+            .distinct()
+        )
+        # small-star: edges already point large→small, so per u the
+        # min smaller-neighbor mn is the hub; every other member of
+        # Γ(u) ∪ {u} links to it.
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("mn"))
+        ss = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("x"), F.col("mn"))
+            .filter(F.col("x") != F.col("mn"))
+            .union(mins2.select(F.col("u").alias("x"), F.col("mn")))
+            .distinct()
+            .select(F.col("x").alias("u"), F.col("mn").alias("v"))
+        )
+        e = ss.localCheckpoint(eager=True)
+        n = e.count()
+        if prev is not None and n == prev_n and e.exceptAll(prev).isEmpty():
+            return e
+        prev, prev_n = e, n
+    raise ValueError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters with one canonical keeper:
+    ``(doc_id, cluster_id, is_canonical)`` for every document in ``df``.
+
+    This is the step a real training-data curation pipeline applies
+    after MinHash-LSH / SimHash candidate generation (the round-3 gap):
+    transitive closure over the union of pair edges, deterministic
+    min-id canonical per cluster, singletons kept as their own
+    canonical. Downstream corpus selection keeps ``is_canonical`` rows
+    only — exactly what :func:`exact_duplicates`'s ``canonical_id``
+    already provides for byte-identical dups, extended to fuzzy.
+    """
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    labels = cc.withColumnRenamed("node_id", id_col)
+    return (
+        df.select(id_col)
+        .join(labels, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+            (F.coalesce(F.col("cluster_id"), F.col(id_col)) == F.col(id_col)).alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # language id / quality / tokens / fingerprint
 # ----------------------------------------------------------------------
 # Tie-break priority = dict order (en first); both the Catalyst

@@ -298,3 +298,82 @@ def test_registered_domain_single_label_host_ansi(spark):
         "example.com": "example.com",
         "x.y.z.org": "z.org",
     }
+
+
+# ----------------------------------------------------------------------
+# connected components / dedup_clusters
+# ----------------------------------------------------------------------
+def _uf_components(edges):
+    """Driver-side union-find reference (tests only)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _cc_spark(spark, edges):
+    df = spark.createDataFrame(edges or [(0, 0)], ["id_a", "id_b"])
+    if not edges:
+        df = df.filter(F.lit(False))
+    out = textops.connected_components(df)
+    return {r["node_id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_connected_components_basic(spark):
+    # two chains + one triangle + a singleton edge
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21), (21, 22), (20, 22), (30, 31)]
+    got = _cc_spark(spark, edges)
+    assert got == _uf_components(edges)
+    # one row per node, min-id labels
+    assert got[4] == 1 and got[12] == 10 and got[22] == 20 and got[31] == 30
+
+
+def test_connected_components_long_chain(spark):
+    """The pathology min-label propagation is slow on: a 64-node chain
+    must converge within the round budget (star-contraction is
+    O(log² n) rounds, not O(diameter))."""
+    edges = [(i, i + 1) for i in range(64)]
+    got = _cc_spark(spark, edges)
+    assert got == {i: 0 for i in range(65)}
+
+
+def test_connected_components_random_graphs(spark):
+    """Randomized parity vs union-find (fixed seeds — box-stable)."""
+    import random
+
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+        edges = [e for e in edges if e[0] != e[1]]
+        assert _cc_spark(spark, edges) == _uf_components(edges)
+
+
+def test_connected_components_empty(spark):
+    assert _cc_spark(spark, []) == {}
+
+
+def test_dedup_clusters_with_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (2, 6)], ["id_a", "id_b"])
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in textops.dedup_clusters(docs, pairs).collect()
+    }
+    assert rows == {
+        0: (0, True), 1: (1, True), 2: (2, True), 3: (1, False),
+        4: (4, True), 5: (1, False), 6: (2, False), 7: (7, True),
+    }
+    # exactly one canonical per cluster
+    canon = [k for k, (c, is_c) in rows.items() if is_c]
+    assert sorted(canon) == sorted({c for c, _ in rows.values()})
