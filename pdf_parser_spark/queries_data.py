@@ -345,7 +345,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dedup_minhash_lsh() -> str:
-    # identical universal-hash constants as textops.minhash_coeffs(12)
+    return _sql_lsh_pairs_over(_SQL_NEAR_CORPUS)
+
+
+def _sql_lsh_pairs_over(corpus_sql: str) -> str:
+    """MinHash-LSH band-bucket pair SQL over any (doc_id, text) source —
+    identical universal-hash constants as textops.minhash_coeffs(12).
+
+    The inner source CTE is named ``lsh_src``, NOT ``corpus``: when this
+    block is nested inside a ``WITH RECURSIVE`` query that also defines
+    a ``corpus`` CTE, the shadowing name makes DuckDB 1.0 fail with an
+    internal error ("Recursive CTE scan found without recursive CTE
+    node")."""
     from .textops import MINHASH_P, minhash_coeffs
 
     arms = "\n  UNION ALL\n".join(
@@ -354,9 +365,9 @@ def _sql_dedup_minhash_lsh() -> str:
         for i, (a, b) in enumerate(minhash_coeffs(12))
     )
     return f"""
-WITH corpus AS ({_SQL_NEAR_CORPUS}),
+WITH lsh_src AS ({corpus_sql}),
 sh AS (
-  SELECT doc_id, {_SQL_SHINGLES.replace('words', _SQL_WORDS)} AS shingles FROM corpus
+  SELECT doc_id, {_SQL_SHINGLES.replace('words', _SQL_WORDS)} AS shingles FROM lsh_src
 ),
 mhs AS (
   SELECT doc_id,
@@ -468,25 +479,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.dedup_clusters(corpus, lsh.unionByName(sh))
 
 
-def _sql_dedup_clusters() -> str:
-    # reachability closure over the SAME edge SQL the pair queries use;
-    # UNION (set semantics) guarantees termination, MIN(r) per id is the
-    # min-reachable node = the Spark operator's cluster label
-    lsh = _sql_dedup_minhash_lsh()
-    sim = _sql_simhash_pairs()
-    # MATERIALIZED: without it DuckDB inlines the (expensive) minhash /
-    # simhash edge CTEs into the recursive walk and re-evaluates them
-    # every iteration — 64 s vs ~5 s at sf0.001.
-    #
-    # The two ``cN``/``symN`` blocks are star-contraction pre-passes:
-    # with b(x) = min(Γ(x) ∪ {x}), each edge (n,m) is replaced by
-    # n—b(n), m—b(m), b(n)—b(m).  Components are preserved (every
-    # replacement keeps n,m connected; every new edge joins nodes
-    # already connected) and the component minimum m survives (b(m)=m,
-    # and any neighbor x of m has b(x)=m, so m stays a hub).  Without
-    # this, simhash near-CLIQUE families (158k pairs over 5500 docs at
-    # sf0.1) make the reachability walk fan out quadratically per
-    # iteration — 259 s; contracted to stars it's one cheap closure.
+def _sql_cc_chain() -> str:
+    """CTE-chain fragment computing connected-component ``labels``
+    (doc_id, cluster_id, is_canonical) from two CTEs the caller must
+    define: ``edges0`` (id_a, id_b) and ``ccorpus`` (doc_id = the full
+    node universe, singletons included). Must be spliced into a
+    ``WITH RECURSIVE`` list AFTER those two.
+
+    The two ``cN``/``symN`` blocks are star-contraction pre-passes:
+    with b(x) = min(Γ(x) ∪ {x}), each edge (n,m) is replaced by
+    n—b(n), m—b(m), b(n)—b(m).  Components are preserved (every
+    replacement keeps n,m connected; every new edge joins nodes
+    already connected) and the component minimum m survives (b(m)=m,
+    and any neighbor x of m has b(x)=m, so m stays a hub).  Without
+    this, simhash near-CLIQUE families (158k pairs over 5500 docs at
+    sf0.1) make the reachability walk fan out quadratically per
+    iteration — 259 s; contracted to stars it's one cheap closure.
+    MATERIALIZED everywhere: DuckDB would otherwise inline (and
+    re-evaluate) the expensive edge CTEs each recursive iteration."""
     contract = """
   SELECT n AS u, b AS v FROM {b} WHERE n <> b
   UNION
@@ -496,10 +506,6 @@ def _sql_dedup_clusters() -> str:
 """
     bmin = "SELECT src AS n, LEAST(MIN(dst), src) AS b FROM {sym} GROUP BY src"
     return f"""
-WITH RECURSIVE
-lsh AS MATERIALIZED ({lsh}),
-sim AS MATERIALIZED ({sim}),
-edges0 AS (SELECT id_a, id_b FROM lsh UNION SELECT id_a, id_b FROM sim),
 sym0 AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM edges0
   UNION
@@ -512,17 +518,34 @@ sym1 AS MATERIALIZED (
 ),
 b1 AS MATERIALIZED ({bmin.format(sym='sym1')}),
 c2 AS MATERIALIZED ({contract.format(b='b1', sym='sym1')}),
-sym AS MATERIALIZED (
+csym AS MATERIALIZED (
   SELECT u AS src, v AS dst FROM c2 UNION SELECT v, u FROM c2
 ),
-corpus AS MATERIALIZED ({_SQL_NEAR_CORPUS}),
 walk(id, r) AS (
-  SELECT doc_id, doc_id FROM corpus
+  SELECT doc_id, doc_id FROM ccorpus
   UNION
-  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.r
-)
-SELECT id AS doc_id, MIN(r) AS cluster_id, (MIN(r) = id) AS is_canonical
-FROM walk GROUP BY id
+  SELECT w.id, s.dst FROM walk w JOIN csym s ON s.src = w.r
+),
+labels AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id, (MIN(r) = id) AS is_canonical
+  FROM walk GROUP BY id
+)"""
+
+
+def _sql_dedup_clusters() -> str:
+    # reachability closure over the SAME edge SQL the pair queries use;
+    # UNION (set semantics) guarantees termination, MIN(r) per id is the
+    # min-reachable node = the Spark operator's cluster label
+    lsh = _sql_dedup_minhash_lsh()
+    sim = _sql_simhash_pairs()
+    return f"""
+WITH RECURSIVE
+lsh AS MATERIALIZED ({lsh}),
+sim AS MATERIALIZED ({sim}),
+edges0 AS (SELECT id_a, id_b FROM lsh UNION SELECT id_a, id_b FROM sim),
+ccorpus AS MATERIALIZED (SELECT doc_id FROM ({_SQL_NEAR_CORPUS}) nc),
+{_sql_cc_chain()}
+SELECT doc_id, cluster_id, is_canonical FROM labels
 """
 
 
@@ -1428,23 +1451,50 @@ FROM documents
 # ----------------------------------------------------------------------
 # composite training-data pipeline: dedup → language → quality → tokens
 # ----------------------------------------------------------------------
+# corpus_select input: base docs + byte-identical copies (+100000, the
+# exact-dedup plant) + perturbed near-twins (+200000, the FUZZY-dedup
+# plant — survives the digest stage, must be killed by the cluster stage)
+_SQL_SELECT_CORPUS = f"""{_SQL_EXACT_CORPUS}
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' extra token here' AS text
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
 def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus-selection pipeline a training-data run
     performs, composed from the individual operators: exact dedup
     (canonical = min doc_id per digest — the planted +100000 copies
-    MUST disappear, so the dedup stage is observable in the output),
-    then language gate (en), quality gate (≥ 0.75), minimum length
-    (≥ 10 ws tokens), emitting the kept docs with their token budget.
-    ONE digest shuffle, then pure join-free projections (append-mode
-    operator chaining); every stage native Catalyst."""
-    corpus = _dup_corpus(spark, sf_dir, exact=True)
+    MUST disappear), then FUZZY dedup (MinHash-LSH candidate pairs →
+    connected-component clusters → keep one canonical per cluster —
+    the planted +200000 near-twins MUST disappear), then language gate
+    (en), quality gate (≥ 0.75), minimum length (≥ 10 ws tokens),
+    emitting the kept docs with their token budget. ONE digest shuffle
+    + the bounded LSH/cluster stage, then pure join-free projections
+    (append-mode operator chaining); every stage native Catalyst."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token here")).alias("text"),
+    )
+    corpus = _dup_corpus(spark, sf_dir, exact=True).unionByName(near)
     canon = (
         corpus.groupBy(F.md5("text").alias("_digest"))
         .agg(F.min_by(F.struct(F.col("doc_id"), F.col("text")), F.col("doc_id")).alias("_c"))
         .select(F.col("_c.doc_id").alias("doc_id"), F.col("_c.text").alias("text"))
     )
+    # fuzzy stage (the round-3 gap, now first-class in the composite
+    # pipeline): LSH candidate pairs → star-contraction components →
+    # keep the min-id canonical of every cluster
+    pairs = textops.lsh_band_pairs(canon, max_bucket_size=50).select("id_a", "id_b")
+    keepers = (
+        textops.dedup_clusters(canon, pairs)
+        .filter(F.col("is_canonical"))
+        .select("doc_id")
+    )
+    canon = canon.join(keepers, "doc_id")
     # append-mode chaining: the three per-doc operators are projections,
-    # so after the one dedup shuffle the whole pipeline is join-free
+    # so after the dedup shuffles the whole pipeline is join-free
     # (round-2 first cut joined them on doc_id — three needless
     # shuffles at corpus scale; test_plans asserts no join survives)
     staged = textops.token_counts(
@@ -1466,23 +1516,35 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_corpus_select() -> str:
+    # DuckDB 1.0 crashes ("Recursive CTE scan found without recursive
+    # CTE node") when a CTE that transitively contains the recursive
+    # walk is referenced more than once — so the per-doc gates run over
+    # the (non-recursive, materialized) canon set and the cluster
+    # labels are joined exactly ONCE in the final select.
     lq = _sql_language_id().replace("FROM documents", "FROM canon")
     qq = _sql_quality_score().replace("FROM documents", "FROM canon")
     tq = SQL_TOKEN_COUNTS.replace("FROM documents", "FROM canon")
+    lshp = _sql_lsh_pairs_over("SELECT doc_id, text FROM canon")
     return f"""
-WITH corpus AS ({_SQL_EXACT_CORPUS}),
-canon AS (
+WITH RECURSIVE
+corpus AS MATERIALIZED ({_SQL_SELECT_CORPUS}),
+canon AS MATERIALIZED (
   SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
   FROM corpus GROUP BY md5(text)
 ),
+edges0 AS MATERIALIZED ({lshp}),
+ccorpus AS (SELECT doc_id FROM canon),
+{_sql_cc_chain()},
 lq AS ({lq}),
 qq AS ({qq}),
 tq AS ({tq})
 SELECT c.doc_id, lq.lang_pred, round(qq.quality_score, 6) AS quality_score,
        tq.ws_tokens, tq.est_bpe_tokens
 FROM canon c
+JOIN labels l USING (doc_id)
 JOIN lq USING (doc_id) JOIN qq USING (doc_id) JOIN tq USING (doc_id)
-WHERE qq.quality_score >= 0.75 AND lq.lang_pred = 'en' AND tq.ws_tokens >= 10
+WHERE l.is_canonical
+  AND qq.quality_score >= 0.75 AND lq.lang_pred = 'en' AND tq.ws_tokens >= 10
 """
 
 

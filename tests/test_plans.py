@@ -102,14 +102,25 @@ def test_ivf_assign_no_global_window(spark):
     assert "partial_min_by" in p  # map-side combine before the shuffle
 
 
-def test_corpus_select_join_free(spark):
-    """The corpus-selection pipeline is ONE dedup shuffle + projections:
-    append-mode operator chaining must leave no join in the plan."""
+def test_corpus_select_plan_shape(spark):
+    """The corpus-selection pipeline is ONE dedup shuffle + the fuzzy
+    cluster-keeper equi-joins + projections: append-mode operator
+    chaining must leave no OTHER join in the plan, and the iterative
+    connected-components work must stay behind its checkpoint (the
+    round-over-round star-contraction joins never pile into this
+    plan). Gates stay native (no Python in the final plan)."""
     import pdf_parser_spark.queries_data as qd2
 
     p = plan_of(qd2.q_corpus_select(spark, SF))
-    assert "Join" not in p
+    # exactly two equi-joins: canon⋈keepers and doc⋈cluster-labels
+    n_joins = sum(
+        line.count("Join")
+        for line in p.splitlines()
+        if line.startswith("(") and "Join" in line
+    )
+    assert n_joins == 2, f"expected 2 joins, plan has {n_joins}"
     assert "partial_min_by" in p  # the dedup agg map-side combine
+    assert "Scan ExistingRDD" in p  # CC result enters via checkpoint
 
 
 def _agg_exchanges(p: str) -> int:

@@ -377,3 +377,20 @@ def test_dedup_clusters_with_singletons(spark):
     # exactly one canonical per cluster
     canon = [k for k, (c, is_c) in rows.items() if is_c]
     assert sorted(canon) == sorted({c for c, _ in rows.values()})
+
+
+def test_corpus_select_fuzzy_stage_removes_near_twins(spark):
+    """Cluster-aware corpus_select: the planted +100000 exact copies
+    die at the digest stage and the planted +200000 near-twins (same
+    text plus a trailing token — different digest!) die at the fuzzy
+    LSH→connected-components stage. Neither may reach the output."""
+    from pyspark.sql import functions as F
+
+    import pdf_parser_spark.queries_data as qd
+
+    out = qd.q_corpus_select(spark, "/root/testdata/sf0.001").cache()
+    try:
+        assert out.filter(F.col("doc_id") >= 100000).count() == 0
+        assert out.count() > 0
+    finally:
+        out.unpersist()
