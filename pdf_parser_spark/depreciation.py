@@ -121,6 +121,19 @@ def _lit_array2_cached(rows: Tuple[Tuple[float, ...], ...]) -> Column:
     return F.expr("array(" + inner + ")")
 
 
+@lru_cache(maxsize=None)
+def _lit_array3_cached(tables: Tuple[Tuple[Tuple[float, ...], ...], ...]) -> Column:
+    inner = ",".join(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(v)) + "D" for v in r) + ")" for r in rows
+        )
+        + ")"
+        for rows in tables
+    )
+    return F.expr("array(" + inner + ")")
+
+
 def _lit_array(vals: List[float]) -> Column:
     return _lit_array_cached(tuple(float(v) for v in vals))
 
@@ -163,26 +176,61 @@ def _hy_pct(asset_class: str, year: Column, accumulated: bool) -> Column:
     return F.coalesce(F.when(year.between(1, len(vals)), got), F.lit(0.0))
 
 
-def _mm_pct(building_class: Column, year: Column, month: Column, accumulated: bool) -> Column:
-    """MACRS % for MM building classes, dispatching on class column."""
+_MM_CLASSES = list(MACRS_MM)  # dispatch order: 27.5yr, 39yr, 30yr, 40yr
+
+
+def _mm_rows(cls: str, accumulated: bool) -> List[List[float]]:
+    rows = [list(r) for r in MACRS_MM[cls]]
+    if accumulated:
+        cols = [[rows[y][m] for y in range(len(rows))] for m in range(12)]
+        acc_cols = [_prefix(c) for c in cols]
+        rows = [[acc_cols[m][y] for m in range(12)] for y in range(len(rows))]
+    return rows
+
+
+def _mm_class_case(building_class: Column, vals: List) -> Column:
     expr = None
-    for cls, table in MACRS_MM.items():
-        rows = [list(r) for r in table]
-        if accumulated:
-            cols = [[rows[y][m] for y in range(len(rows))] for m in range(12)]
-            acc_cols = [_prefix(c) for c in cols]
-            rows = [[acc_cols[m][y] for m in range(12)] for y in range(len(rows))]
-        arr = _lit_array2(rows)
-        n_years = len(table)
-        got = F.element_at(F.element_at(arr, year.cast("int")), month.cast("int"))
-        if accumulated:
-            beyond = F.element_at(F.element_at(arr, F.lit(n_years)), month.cast("int"))
-            val = F.when(year <= 0, F.lit(0.0)).when(year > n_years, beyond).otherwise(got)
-        else:
-            val = F.coalesce(F.when(year.between(1, n_years), got), F.lit(0.0))
+    for cls, v in zip(_MM_CLASSES, vals):
         cond = building_class == F.lit(cls)
-        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
-    return expr.otherwise(F.lit(None).cast("double"))  # unknown class → null (D8)
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    return expr  # no otherwise → unknown class = null
+
+
+def _mm_pct(building_class: Column, year: Column, month: Column, accumulated: bool) -> Column:
+    """MACRS % for MM building classes, dispatching on class column.
+
+    ONE padded 3-D literal array indexed by (class idx, year, month)
+    instead of a when-chain where every branch embedded its own 41×12
+    table: the old form put 4 full tables in the tree PER CALL, and
+    calls inside higher-order-function lambdas are inlined per
+    reference — the dominant share of `capex_481a`'s 1.3 MiB task
+    binary and its plan-analysis wall time (round-3 finding). Values,
+    guards, and per-class bounds are unchanged, so every looked-up
+    double (and thus every downstream float association) is
+    bit-identical.  Padding rows are unreachable: the per-class
+    ``n_years`` guard evaluates lazily before any ``element_at``, which
+    also keeps ANSI mode from seeing an out-of-range index."""
+    n_years = _mm_class_case(building_class, [len(MACRS_MM[c]) for c in _MM_CLASSES])
+    max_rows = max(len(MACRS_MM[c]) for c in _MM_CLASSES)
+    pad = [[0.0] * 12]
+    tables = tuple(
+        tuple(
+            tuple(r)
+            for r in _mm_rows(c, accumulated) + pad * (max_rows - len(MACRS_MM[c]))
+        )
+        for c in _MM_CLASSES
+    )
+    idx = _mm_class_case(building_class, list(range(1, len(_MM_CLASSES) + 1)))
+    tab = F.element_at(_lit_array3_cached(tables), idx)
+    got = F.element_at(F.element_at(tab, year.cast("int")), month.cast("int"))
+    if accumulated:
+        beyond = F.element_at(F.element_at(tab, n_years), month.cast("int"))
+        val = F.when(year <= 0, F.lit(0.0)).when(year > n_years, beyond).otherwise(got)
+    else:
+        val = F.coalesce(F.when(year.between(1, n_years), got), F.lit(0.0))
+    # unknown class → null (D8); without this wrap the annual-branch
+    # coalesce would turn the null lookup into a wrong 0.0
+    return F.when(idx.isNull(), F.lit(None).cast("double")).otherwise(val)
 
 
 # ----------------------------------------------------------------------
@@ -557,47 +605,86 @@ def _pool_bonus(p: Column) -> Column:
     return F.coalesce(p["bonus_override"], bonus_rate_expr(p["pis_date"]))
 
 
+def _hy_class_case(cls: Column, vals: List) -> Column:
+    expr = None
+    for c, v in zip(SHORT_CLASSES, vals):
+        cond = cls == F.lit(c)
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    return expr  # no otherwise → long-life class = null
+
+
+def _hy_pct_by_idx(idx: Column, n_years: Column, year: Column, accumulated: bool) -> Column:
+    """HY MACRS % via ONE padded 2-D literal array indexed by (class
+    idx, year) — the per-class-chain twin of :func:`_mm_pct`'s 3-D
+    form, same bit-identical-values / lazy-bounds argument.  The
+    accumulated ``beyond`` value is the prefix table's own last entry
+    (``element_at(tab, n_years)``), the identical double the old
+    per-class scalar literal held."""
+    max_len = max(len(t) for t in HY_TABLES.values())
+    tables = tuple(
+        tuple(
+            (_prefix(HY_TABLES[c]) if accumulated else HY_TABLES[c])
+            + [0.0] * (max_len - len(HY_TABLES[c]))
+        )
+        for c in SHORT_CLASSES
+    )
+    tab = F.element_at(_lit_array2_cached(tables), idx)
+    got = F.element_at(tab, year.cast("int"))
+    if accumulated:
+        beyond = F.element_at(tab, n_years)
+        return F.when(year <= 0, F.lit(0.0)).when(year > n_years, beyond).otherwise(got)
+    return F.coalesce(F.when(year.between(1, n_years), got), F.lit(0.0))
+
+
 def _pool_year_dep(p: Column, target_year: Column) -> Column:
     """One pool's depreciation in calendar ``target_year`` (`:520-566`).
 
     Quirk preserved: a ZERO-bonus short-life pool takes nothing in its
-    first year (the reference's elif-chain has no bonus==0 year-1 arm)."""
+    first year (the reference's elif-chain has no bonus==0 year-1 arm).
+
+    The short-class dispatch is an index into one 2-D table rather than
+    a 3-branch when-chain each re-embedding its arithmetic + table: the
+    branch arithmetic was class-independent, only the looked-up pct
+    differed, so collapsing it is float-exact (round-3 plan-size
+    finding; see :func:`_mm_pct`)."""
     dy = target_year - F.year(p["pis_date"]) + 1
     amt = p["amount"]
     b = _pool_bonus(p)
     bf = b / 100.0
     cls = _pool_class(p)
-    short = None
-    for c in SHORT_CLASSES:
-        y1 = amt * bf + amt * (1.0 - bf) * _hy_pct(c, F.lit(1), False) / 100.0
-        later = amt * (1.0 - bf) * _hy_pct(c, dy, False) / 100.0
-        val = (
-            F.when((b == 100.0) & (dy == 1), amt)
-            .when((b > 0.0) & (dy == 1), y1)
-            .when((b < 100.0) & (dy > 1), later)
-            .otherwise(F.lit(0.0))
-        )
-        cond = cls == c
-        short = F.when(cond, val) if short is None else short.when(cond, val)
+    idx = _hy_class_case(cls, list(range(1, len(SHORT_CLASSES) + 1)))
+    ny = _hy_class_case(cls, [len(HY_TABLES[c]) for c in SHORT_CLASSES])
+    y1 = amt * bf + amt * (1.0 - bf) * _hy_pct_by_idx(idx, ny, F.lit(1), False) / 100.0
+    later = amt * (1.0 - bf) * _hy_pct_by_idx(idx, ny, dy, False) / 100.0
+    short_val = (
+        F.when((b == 100.0) & (dy == 1), amt)
+        .when((b > 0.0) & (dy == 1), y1)
+        .when((b < 100.0) & (dy > 1), later)
+        .otherwise(F.lit(0.0))
+    )
     long_dep = amt * _mm_pct(cls, dy, F.month(p["pis_date"]), False) / 100.0
-    return F.when(dy < 1, F.lit(0.0)).otherwise(short.otherwise(long_dep))
+    return F.when(dy < 1, F.lit(0.0)).otherwise(
+        F.when(idx.isNotNull(), short_val).otherwise(long_dep)
+    )
 
 
 def _pool_acc_dep(p: Column, target_year: Column) -> Column:
-    """One pool's accumulated depreciation through ``target_year`` (`:568-600`)."""
+    """One pool's accumulated depreciation through ``target_year``
+    (`:568-600`); same 2-D short-class indexing as
+    :func:`_pool_year_dep`."""
     dyc = target_year - F.year(p["pis_date"]) + 1
     amt = p["amount"]
     b = _pool_bonus(p)
     bf = b / 100.0
     cls = _pool_class(p)
-    short = None
-    for c in SHORT_CLASSES:
-        acc = amt * bf + amt * (1.0 - bf) * _hy_pct(c, dyc, True) / 100.0
-        val = F.when(b == 100.0, amt).otherwise(acc)
-        cond = cls == c
-        short = F.when(cond, val) if short is None else short.when(cond, val)
+    idx = _hy_class_case(cls, list(range(1, len(SHORT_CLASSES) + 1)))
+    ny = _hy_class_case(cls, [len(HY_TABLES[c]) for c in SHORT_CLASSES])
+    acc = amt * bf + amt * (1.0 - bf) * _hy_pct_by_idx(idx, ny, dyc, True) / 100.0
+    short_val = F.when(b == 100.0, amt).otherwise(acc)
     long_acc = amt * _mm_pct(cls, dyc, F.month(p["pis_date"]), True) / 100.0
-    return F.when(dyc < 1, F.lit(0.0)).otherwise(short.otherwise(long_acc))
+    return F.when(dyc < 1, F.lit(0.0)).otherwise(
+        F.when(idx.isNotNull(), short_val).otherwise(long_acc)
+    )
 
 
 def capex_class_totals(pools: Column, target_year: Column, accumulated: bool = False) -> Dict[str, Column]:
@@ -655,20 +742,31 @@ def with_481a_capex(df: DataFrame, pools_col: str = "capex_items") -> DataFrame:
     tax_year = F.col("acq_year") + ye
     bonus = F.col("bonus_rate")
 
+    # stage the two pool folds as physical columns FIRST: their trees
+    # (each inlining the MACRS lookup tables into the aggregate lambda)
+    # would otherwise be copied into every output expression that
+    # references them — 2-3 copies each through should/cur_total/
+    # y1_total, the other half of the round-3 plan-size finding
+    staged = df.select(
+        "*",
+        capex_total(pools, tax_year - 1, accumulated=True).alias("_capex_acc_prior"),
+        capex_total(pools, tax_year, accumulated=False).alias("_capex_cur"),
+    )
+
     acc = accumulated_cols(ye, bonus)
     base_should = acc["acc_5yr"] + acc["acc_7yr"] + acc["acc_15yr"] + acc["acc_bldg"]
-    should = base_should + capex_total(pools, tax_year - 1, accumulated=True)
+    should = base_should + F.col("_capex_acc_prior")
 
     did_take = standard_depreciation(ye)
 
     cur = year_depreciation_cols(ye + 1, bonus)
     y1 = year_depreciation_cols(F.lit(1), bonus)
-    capex_cur_total = capex_total(pools, tax_year, accumulated=False)
+    capex_cur_total = F.col("_capex_cur")
     cur_total = cur["dep_5yr"] + cur["dep_7yr"] + cur["dep_15yr"] + cur["dep_bldg"] + capex_cur_total
     y1_total = y1["dep_5yr"] + y1["dep_7yr"] + y1["dep_15yr"] + y1["dep_bldg"] + capex_cur_total
 
     zero = ye == 0
-    return df.select(
+    return staged.select(
         "*",
         F.when(zero, 0.0).otherwise(should).alias("should_have_taken"),
         F.when(zero, 0.0).otherwise(did_take).alias("did_take"),
@@ -677,7 +775,7 @@ def with_481a_capex(df: DataFrame, pools_col: str = "capex_items") -> DataFrame:
         F.when(zero, y1_total).otherwise(should - did_take + cur_total).alias(
             "total_current_year_benefit"
         ),
-    )
+    ).drop("_capex_acc_prior", "_capex_cur")
 
 
 # ----------------------------------------------------------------------
