@@ -209,14 +209,121 @@ def thumb_pixel_sum(thumb: bytes) -> int:
 
 
 def sample_frames(blob: bytes, every: int) -> List[Tuple[int, int]]:
-    """(frame_index, first_pixel) for every ``every``-th video frame."""
+    """(frame_index, first_pixel) for every ``every``-th video frame.
+
+    REAL pixel decode for MJPEG-in-AVI (round-4): the RIFF ``movi``
+    chunk walk feeds each sampled frame to :mod:`.jpegcore`, so
+    ``first_pixel`` is the first decoded pixel byte of an actual JPEG
+    frame. Every other real codec (H.264 in MP4, non-MJPEG AVI
+    streams) raises the typed gate — it used to fall through to the
+    FAKE-container payload math and report container bytes as pixels."""
     meta = decode_media(blob)
     if meta["kind"] != "video":
         raise ValueError("not a video")
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        return _sample_avi_frames(blob, every)
+    if blob[:4] != b"FAKE":
+        raise NotImplementedError(
+            "real codec not available in sandbox: video frame decode (install ffmpeg)"
+        )
     w, h, n = meta["width"], meta["height"], meta["n_frames"]
     payload = blob[11:]
     frame_sz = max(1, w * h)
     return [(i, _px(payload, i * frame_sz)) for i in range(0, n, every)]
+
+
+def _avi_video_stream(blob: bytes) -> Tuple[int, bytes]:
+    """(stream index, fccHandler) of the first ``vids`` stream from the
+    ``hdrl`` list (streams are numbered in ``strl`` order, public AVI
+    spec)."""
+    idx = 0
+    for ckid, s, e in _walk_riff(blob, 12, len(blob)):
+        if ckid != b"LIST" or blob[s : s + 4] != b"hdrl":
+            continue
+        for ck2, s2, e2 in _walk_riff(blob, s + 4, e):
+            if ck2 == b"LIST" and blob[s2 : s2 + 4] == b"strl":
+                for ck3, s3, e3 in _walk_riff(blob, s2 + 4, e2):
+                    if ck3 == b"strh":
+                        if blob[s3 : s3 + 4] == b"vids":
+                            return idx, blob[s3 + 4 : s3 + 8]
+                        break
+                idx += 1
+    raise ValueError("corrupt AVI: no video stream in hdrl")
+
+
+def _avi_frame_chunks(blob: bytes, stream_idx: int) -> List[bytes]:
+    """Video frame chunk payloads from ``LIST movi`` (incl. nested
+    ``rec `` grouping lists), in stream order."""
+    want = {b"%02ddc" % stream_idx, b"%02ddb" % stream_idx}
+    out: List[bytes] = []
+
+    def scan(start: int, end: int) -> None:
+        for ckid, s, e in _walk_riff(blob, start, end):
+            if ckid == b"LIST" and blob[s : s + 4] == b"rec ":
+                scan(s + 4, e)
+            elif ckid in want:
+                out.append(blob[s:e])
+
+    for ckid, s, e in _walk_riff(blob, 12, len(blob)):
+        if ckid == b"LIST" and blob[s : s + 4] == b"movi":
+            scan(s + 4, e)
+    return out
+
+
+def _sample_avi_frames(blob: bytes, every: int) -> List[Tuple[int, int]]:
+    idx, handler = _avi_video_stream(blob)
+    if handler not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            "real codec not available in sandbox: AVI stream "
+            f"{handler.decode('latin-1').strip()!r} (install ffmpeg)"
+        )
+    from . import jpegcore
+
+    frames = _avi_frame_chunks(blob, idx)
+    out = []
+    for i in range(0, len(frames), every):
+        if frames[i][: len(_JPEG_SIG)] != _JPEG_SIG:
+            raise ValueError(f"corrupt AVI: MJPEG frame {i} lacks JPEG SOI")
+        img = jpegcore.decode_jpeg(frames[i])
+        out.append((i, img["pixels"][0] if img["pixels"] else 0))
+    return out
+
+
+def _riff_chunk(ckid: bytes, body: bytes) -> bytes:
+    return ckid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _riff_list(listtype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", listtype + body)
+
+
+def encode_avi_mjpeg(width: int, height: int, frames: List[bytes], fps: int = 25) -> bytes:
+    """Minimal spec-conformant MJPEG AVI (RIFF → hdrl(avih, strl(strh
+    'vids'/'MJPG', strf BITMAPINFOHEADER)) → movi(00dc...)). Fixture
+    encoder for the frame-decode path — per the repo's codec rule the
+    decode tests break encoder/decoder bug-cancellation with closed-form
+    pixel oracles derived from the source values, not from this code."""
+    usec_pf = 1_000_000 // fps
+    avih = _riff_chunk(
+        b"avih",
+        struct.pack(
+            "<14I", usec_pf, 0, 0, 0, len(frames), 0, 1, 0, width, height, 0, 0, 0, 0
+        ),
+    )
+    strh = _riff_chunk(
+        b"strh",
+        b"vids" + b"MJPG"
+        + struct.pack("<10I", 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height),
+    )
+    strf = _riff_chunk(
+        b"strf",
+        struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+                    width * height * 3, 0, 0, 0, 0),
+    )
+    hdrl = _riff_list(b"hdrl", avih + _riff_list(b"strl", strh + strf))
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00dc", f) for f in frames))
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
 # ----------------------------------------------------------------------
@@ -306,6 +413,58 @@ def sampled_frames(df: DataFrame, every: int = 10, media_col: str = "media") -> 
 
     return df.select("doc_id", F.col(media_col).alias("media")).mapInPandas(
         mapper, schema="doc_id long, frame_idx int, first_pixel int, error string"
+    )
+
+
+def avi_frame_stats(df: DataFrame, every: int = 1, media_col: str = "media") -> DataFrame:
+    """REAL video-frame feature extraction for MJPEG-in-AVI: every
+    ``every``-th frame is entropy-decoded by :mod:`.jpegcore` and
+    reduced to (first_pixel, pixel_sum) — the feature-extract shape a
+    training pipeline runs per sampled frame. Non-MJPEG streams and
+    corrupt containers contribute ONE typed error row each (never
+    dropped, same contract as every other multimodal stage)."""
+
+    def mapper(batches):
+        from . import jpegcore
+
+        for b in batches:
+            ids, idxs, pxs, sums, errs = [], [], [], [], []
+            for doc_id, blob in zip(b["doc_id"].tolist(), b["media"].tolist()):
+                blob = bytes(blob)
+                rows = []  # buffered: a mid-stream failure emits ONLY the error row
+                try:
+                    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+                        raise ValueError("not an AVI container")
+                    idx, handler = _avi_video_stream(blob)
+                    if handler not in (b"MJPG", b"mjpg"):
+                        raise NotImplementedError(
+                            "real codec not available in sandbox: AVI stream "
+                            f"{handler.decode('latin-1').strip()!r} (install ffmpeg)"
+                        )
+                    frames = _avi_frame_chunks(blob, idx)
+                    for i in range(0, len(frames), every):
+                        if frames[i][: len(_JPEG_SIG)] != _JPEG_SIG:
+                            raise ValueError(
+                                f"corrupt AVI: MJPEG frame {i} lacks JPEG SOI"
+                            )
+                        img = jpegcore.decode_jpeg(frames[i])
+                        rows.append((i, img["pixels"][0] if img["pixels"] else 0,
+                                     int(sum(img["pixels"])), None))
+                except (ValueError, NotImplementedError, jpegcore.JpegError) as e:
+                    rows = [(None, None, None, str(e)[:200])]
+                for i, px, ps, err in rows:
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    pxs.append(px)
+                    sums.append(ps)
+                    errs.append(err)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "first_pixel": pxs, "pixel_sum": sums,
+                                "error": errs})
+
+    return df.select("doc_id", F.col(media_col).alias("media")).mapInPandas(
+        mapper,
+        schema="doc_id long, frame_idx int, first_pixel int, pixel_sum long, error string",
     )
 
 

@@ -1448,6 +1448,67 @@ FROM documents
 """
 
 
+def _avi_mjpeg_mapper(batches):
+    import numpy as np
+    import pandas as pd
+
+    from pdf_parser_spark import jpegcore
+    from pdf_parser_spark import multimodal as mm
+
+    for b in batches:
+        ids, blobs = [], []
+        for doc_id in b["doc_id"].tolist():
+            d = int(doc_id)
+            n = 3 + d % 5
+            frames = []
+            for i in range(n):
+                b0 = (d * 7 + i * 13) % 256
+                b1 = (d * 7 + i * 13 + 31) % 256
+                px = np.empty((8, 16), np.uint8)
+                px[:, :8] = b0  # two flat 8x8 blocks — jpegcore's
+                px[:, 8:] = b1  # quant=1 flat-block decode is EXACT
+                frames.append(jpegcore.encode_jpeg(16, 8, px.tobytes(), channels=1))
+            blob = mm.encode_avi_mjpeg(16, 8, frames)
+            if d % 7 == 0:  # plant a non-MJPEG stream → typed error row
+                blob = blob.replace(b"MJPG", b"XVID", 1)  # strh handler
+            ids.append(d)
+            blobs.append(blob)
+        yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+
+def q_avi_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG-in-AVI frame decode (round-4): synthesize one AVI per
+    doc (every doc_id % 7 == 0 carries an XVID stream instead), walk the
+    RIFF movi chunks, entropy-decode every 2nd frame via jpegcore, and
+    emit first-pixel + full pixel-sum per sampled frame. The oracle is
+    CLOSED-FORM from the planted block values — it never routes through
+    the encoder, so encoder/decoder bug-cancellation is broken per the
+    repo's codec rule."""
+    from pdf_parser_spark import multimodal as mm
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    media = d.mapInPandas(_avi_mjpeg_mapper, schema="doc_id long, media binary")
+    return mm.avi_frame_stats(media, every=2)
+
+
+SQL_AVI_MJPEG_FRAMES = """
+SELECT doc_id, CAST(NULL AS INT) AS frame_idx, CAST(NULL AS INT) AS first_pixel,
+       CAST(NULL AS BIGINT) AS pixel_sum,
+       'real codec not available in sandbox: AVI stream ''XVID'' (install ffmpeg)' AS error
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       CAST((doc_id * 7 + i * 13) % 256 AS INT) AS first_pixel,
+       CAST(64 * ((doc_id * 7 + i * 13) % 256)
+          + 64 * ((doc_id * 7 + i * 13 + 31) % 256) AS BIGINT) AS pixel_sum,
+       CAST(NULL AS VARCHAR) AS error
+FROM (
+  SELECT doc_id, unnest(generate_series(0, 2 + doc_id % 5, 2)) AS i
+  FROM documents WHERE doc_id % 7 <> 0
+)
+"""
+
+
 # ----------------------------------------------------------------------
 # composite training-data pipeline: dedup → language → quality → tokens
 # ----------------------------------------------------------------------
@@ -1594,6 +1655,7 @@ def data_queries():
         "gif_roundtrip": q_gif_roundtrip,
         "wav_roundtrip": q_wav_roundtrip,
         "mp4_roundtrip": q_mp4_roundtrip,
+        "avi_mjpeg_frames": q_avi_mjpeg_frames,
     }
 
 
@@ -1640,6 +1702,7 @@ def data_oracle_sql():
         "gif_roundtrip": SQL_GIF_ROUNDTRIP,
         "wav_roundtrip": SQL_WAV_ROUNDTRIP,
         "mp4_roundtrip": SQL_MP4_ROUNDTRIP,
+        "avi_mjpeg_frames": SQL_AVI_MJPEG_FRAMES,
     }
 
 

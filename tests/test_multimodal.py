@@ -177,3 +177,63 @@ def test_webp_metadata_walk():
     # pixel decode is gated with a typed error, never fake pixels
     with pytest.raises(NotImplementedError, match="pixel decode"):
         mm.resize_image(blob, 2, 2)
+
+
+# ----------------------------------------------------------------------
+# MJPEG-in-AVI real frame decode (round 4)
+# ----------------------------------------------------------------------
+def test_avi_mjpeg_sample_frames_real_pixels():
+    from pdf_parser_spark import jpegcore
+
+    w, h = 16, 8
+    vals = [10, 77, 200, 3, 145]
+    frames = [jpegcore.encode_jpeg(w, h, bytes([v]) * (w * h), channels=1)
+              for v in vals]
+    blob = mm.encode_avi_mjpeg(w, h, frames, fps=25)
+    meta = mm.decode_media(blob)
+    assert (meta["kind"], meta["width"], meta["height"], meta["n_frames"]) == (
+        "video", 16, 8, 5)
+    # flat-block JPEG decode is exact → sampled first pixels are the
+    # planted values, an invariant derived from the SOURCE bytes (the
+    # repo's codec bug-cancellation rule)
+    assert mm.sample_frames(blob, 2) == [(0, 10), (2, 200), (4, 145)]
+    assert [p for _, p in mm.sample_frames(blob, 1)] == vals
+
+
+def test_avi_non_mjpeg_stream_typed_gate():
+    from pdf_parser_spark import jpegcore
+
+    frames = [jpegcore.encode_jpeg(16, 8, bytes(16 * 8), channels=1)]
+    blob = mm.encode_avi_mjpeg(16, 8, frames).replace(b"MJPG", b"H264", 1)
+    with pytest.raises(NotImplementedError, match="H264"):
+        mm.sample_frames(blob, 1)
+
+
+def test_mp4_frames_typed_gate_not_fake_math():
+    """Real MP4s must hit the typed codec gate — they used to fall into
+    the FAKE-container payload math and report container bytes as
+    pixels."""
+    blob = _make_mp4(320, 180, 1000, 500)
+    with pytest.raises(NotImplementedError, match="video frame decode"):
+        mm.sample_frames(blob, 1)
+
+
+def test_avi_frame_stats_stage_rows(spark):
+    from pdf_parser_spark import jpegcore
+
+    good = mm.encode_avi_mjpeg(
+        16, 8,
+        [jpegcore.encode_jpeg(16, 8, bytes([v]) * 128, channels=1)
+         for v in (9, 40, 250)],
+    )
+    bad = mm.encode_avi_mjpeg(
+        16, 8, [jpegcore.encode_jpeg(16, 8, bytes(128), channels=1)]
+    ).replace(b"MJPG", b"XVID", 1)
+    df = spark.createDataFrame([(1, bytearray(good)), (2, bytearray(bad))],
+                               "doc_id long, media binary")
+    rows = {(r["doc_id"], r["frame_idx"]): r
+            for r in mm.avi_frame_stats(df, every=2).collect()}
+    assert rows[(1, 0)]["first_pixel"] == 9 and rows[(1, 0)]["pixel_sum"] == 9 * 128
+    assert rows[(1, 2)]["first_pixel"] == 250 and rows[(1, 2)]["error"] is None
+    err = rows[(2, None)]
+    assert err["first_pixel"] is None and "XVID" in err["error"]
