@@ -14,8 +14,9 @@ run as Arrow-batched functions over ``mapInPandas``.
   typed error rows naming the mode.
 - **GIF decodes FOR REAL** (round 3): :mod:`.gifcore` — LSB-first LZW,
   global/local palettes, interlace, frame counting.
-- **WAV (stdlib), MP4/AVI/WebP metadata walks** are real; only video
-  FRAME decode and WebP/exotic-RIFF pixel decode stay gated
+- **WAV (stdlib), MP4/AVI/WebP metadata walks** are real;
+  WebP-LOSSLESS (VP8L) pixel decode is real via webpcore; only video
+  FRAME decode (except MJPEG-in-AVI) and lossy-VP8 pixels stay gated
   (``NotImplementedError`` naming the library a deployment would
   install — real codecs are genuinely absent in this container).
 - the deterministic ``FAKE`` container (our synthetic corpus format)
@@ -168,12 +169,21 @@ def resize_image(blob: bytes, out_w: int, out_h: int) -> bytes:
         img["color_type"] = 2
         small = pngcore.resize_nearest(img, out_w, out_h)
         return pngcore.encode_png(out_w, out_h, small["pixels"], color_type=2)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        # REAL VP8L (lossless) pixel decode via webpcore; lossy VP8
+        # raises the typed WebpError('lossy_gate') → error row upstream
+        from . import pngcore, webpcore
+
+        img = webpcore.decode_webp(blob)
+        small = pngcore.resize_nearest(img, out_w, out_h)
+        return pngcore.encode_png(out_w, out_h, small["pixels"], color_type=6)
     meta = decode_media(blob)
     if meta["kind"] != "image":
         raise ValueError("not an image")
     if blob[:4] != b"FAKE":
-        # metadata-only formats (WebP): dims are real but pixels need a
-        # codec this sandbox can't have — typed gate, never fake pixels
+        # any remaining metadata-only image format: dims are real but
+        # pixels need a codec this sandbox can't have (WebP-lossless
+        # now decodes for real above) — typed gate, never fake pixels
         raise NotImplementedError("pixel decode not available for this format")
     w, h = meta["width"], meta["height"]
     payload = blob[11:]
@@ -521,8 +531,9 @@ def _walk_riff(data: bytes, start: int, end: int):
 def decode_webp_metadata(blob: bytes) -> dict:
     """REAL WebP container walk: dimensions from VP8X (extended
     canvas), VP8 (lossy key-frame header) or VP8L (lossless stream
-    header) per the public WebP container spec. PIXEL decode needs a
-    real VP8 codec and stays gated (see :func:`resize_image`)."""
+    header) per the public WebP container spec.  Lossless (VP8L) PIXEL
+    decode is real via webpcore (see :func:`resize_image`); lossy VP8
+    pixels stay a typed gate."""
     for ckid, s, e in _walk_riff(blob, 12, len(blob)):
         if ckid == b"VP8X" and e - s >= 10:
             w = 1 + int.from_bytes(blob[s + 4 : s + 7], "little")

@@ -1333,6 +1333,85 @@ FROM d
 
 
 # ----------------------------------------------------------------------
+# real-WebP (VP8L lossless) round trip: RGB from text bytes → encode
+# with per-doc option mix → full huffman/transform/LZ77/cache decode →
+# RGBA pixel sum + 2×2 nearest thumbnail sum (round-4 addition)
+# ----------------------------------------------------------------------
+def _webp_roundtrip_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .pngcore import resize_nearest
+    from .webpcore import decode_webp, encode_webp_lossless
+
+    for b in batches:
+        cols = {k: [] for k in ("doc_id", "width", "height", "channels",
+                                "pixel_sum", "thumb_sum")}
+        for doc_id, text in zip(b["doc_id"].tolist(), b["text"].tolist()):
+            i = int(doc_id)
+            data = _oracle_bytes(i, text)
+            w, h = 2 + i % 6, 1 + i % 4
+            rgb = bytes(data[j % len(data)] for j in range(w * h * 3))
+            blob = encode_webp_lossless(
+                w, h, rgb, 3,
+                subtract_green=bool(i % 2),
+                cache_bits=3 if i % 3 == 0 else 0,
+                use_lz77=i % 5 == 0,
+            )
+            img = decode_webp(blob)  # REAL VP8L prefix-code decode
+            thumb = resize_nearest(img, 2, 2)
+            cols["doc_id"].append(i)
+            cols["width"].append(img["width"])
+            cols["height"].append(img["height"])
+            cols["channels"].append(img["channels"])
+            cols["pixel_sum"].append(int(sum(img["pixels"])))
+            cols["thumb_sum"].append(int(sum(thumb["pixels"])))
+        yield pd.DataFrame(cols)
+
+
+def q_webp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WebP-lossless codec end to end at driver scale: text bytes
+    → RGB pixels → VP8L encode with a per-doc option mix (odd docs add
+    the subtract-green transform, every 3rd a color cache, every 5th
+    LZ77 run coding — so ALL encoder/decoder stages are oracle-live) →
+    full decode → RGBA pixel sum + 2×2 nearest thumbnail.  The oracle
+    reduces every decoded byte straight to the text bytes (alpha is a
+    constant 255), so any prefix-code/transform/cache/LZ77 defect in
+    either direction breaks the hash."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.mapInPandas(
+        _webp_roundtrip_mapper,
+        schema="doc_id long, width int, height int, channels int,"
+        " pixel_sum long, thumb_sum long",
+    )
+
+
+def _sql_webp_roundtrip() -> str:
+    # 2×2 nearest thumbnail samples sy=(y*h)//2 (clamped), sx=(x*w)//2:
+    # RGBA sums = 3 text bytes per sampled pixel + alpha 255.
+    terms = []
+    for y in range(2):
+        for x in range(2):
+            sy = f"least(h - 1, CAST(floor({y} * h / 2) AS INT))"
+            sx = f"least(w - 1, CAST(floor({x} * w / 2) AS INT))"
+            for c in range(3):
+                idx = f"(({sy} * w + {sx}) * 3 + {c})"
+                terms.append(f"ascii(substr(text, ({idx} % n) + 1, 1))")
+    thumb = " + ".join(terms)
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h
+  FROM documents
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       4 AS channels,
+       CAST(list_sum(list_transform(generate_series(0, w * h * 3 - 1),
+                     j -> ascii(substr(text, (j % n) + 1, 1))))
+            + 255 * w * h AS BIGINT) AS pixel_sum,
+       CAST({thumb} + 4 * 255 AS BIGINT) AS thumb_sum
+FROM d
+"""
+
+
+# ----------------------------------------------------------------------
 # real-WAV round trip: encode PCM from text bytes → decode → sums
 # ----------------------------------------------------------------------
 def _wav_roundtrip_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1653,6 +1732,7 @@ def data_queries():
         "png_roundtrip": q_png_roundtrip,
         "jpeg_roundtrip": q_jpeg_roundtrip,
         "gif_roundtrip": q_gif_roundtrip,
+        "webp_roundtrip": q_webp_roundtrip,
         "wav_roundtrip": q_wav_roundtrip,
         "mp4_roundtrip": q_mp4_roundtrip,
         "avi_mjpeg_frames": q_avi_mjpeg_frames,
@@ -1700,6 +1780,7 @@ def data_oracle_sql():
         "png_roundtrip": _sql_png_roundtrip(),
         "jpeg_roundtrip": SQL_JPEG_ROUNDTRIP,
         "gif_roundtrip": SQL_GIF_ROUNDTRIP,
+        "webp_roundtrip": _sql_webp_roundtrip(),
         "wav_roundtrip": SQL_WAV_ROUNDTRIP,
         "mp4_roundtrip": SQL_MP4_ROUNDTRIP,
         "avi_mjpeg_frames": SQL_AVI_MJPEG_FRAMES,

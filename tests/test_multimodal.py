@@ -174,9 +174,23 @@ def test_webp_metadata_walk():
     vp8x = b"\x00\x00\x00\x00" + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
     m = mm.decode_media(riff(b"VP8X" + _s.pack("<I", len(vp8x)) + vp8x))
     assert (m["width"], m["height"]) == (640, 480)
-    # pixel decode is gated with a typed error, never fake pixels
-    with pytest.raises(NotImplementedError, match="pixel decode"):
+    # lossy-VP8 pixel decode is gated with a TYPED error, never fake
+    # pixels (WebpError is a ValueError → error row in the stage)
+    from pdf_parser_spark.webpcore import WebpError, encode_webp_lossless
+
+    with pytest.raises(WebpError, match="lossy"):
         mm.resize_image(blob, 2, 2)
+    # VP8L (lossless) pixels decode for REAL now (round 4): resize a
+    # 4x2 two-color image and check the thumbnail PNG's exact pixels
+    from pdf_parser_spark.pngcore import decode_png
+
+    rgb = bytes([10, 20, 30] * 4 + [200, 210, 220] * 4)
+    lossless = encode_webp_lossless(4, 2, rgb, 3)
+    thumb = decode_png(mm.resize_image(lossless, 2, 2))
+    assert (thumb["width"], thumb["height"], thumb["channels"]) == (2, 2, 4)
+    assert thumb["pixels"] == bytes(
+        [10, 20, 30, 255] * 2 + [200, 210, 220, 255] * 2
+    )
 
 
 # ----------------------------------------------------------------------
