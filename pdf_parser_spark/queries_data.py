@@ -1280,6 +1280,68 @@ FROM d
 
 
 # ----------------------------------------------------------------------
+# real lossless-JPEG (SOF3) round trip: ARBITRARY pixels from text
+# bytes → predictor-chain huffman encode → exact decode (round 4).
+# Unlike the flat-block baseline/progressive oracle, losslessness
+# holds for any pixels, so the whole predictor/extend/mod-2^16 chain
+# is oracle-live on unconstrained data.
+# ----------------------------------------------------------------------
+def _jpeg_lossless_roundtrip_mapper(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from .jpegcore import decode_jpeg, encode_jpeg_lossless
+
+    for b in batches:
+        cols = {k: [] for k in ("doc_id", "width", "height", "channels",
+                                "pixel_sum")}
+        for doc_id, text in zip(b["doc_id"].tolist(), b["text"].tolist()):
+            i = int(doc_id)
+            data = _oracle_bytes(i, text)
+            w, h = 3 + i % 6, 2 + i % 5
+            ch = 1 if i % 2 else 3
+            px = bytes(data[j % len(data)] for j in range(w * h * ch))
+            blob = encode_jpeg_lossless(
+                w, h, px, ch,
+                predictor=1 + i % 7,  # every T.81 H.1 selector oracle-live
+                restart_interval=i % 4,
+            )
+            img = decode_jpeg(blob)  # REAL SOF3 predictor-chain decode
+            cols["doc_id"].append(i)
+            cols["width"].append(img["width"])
+            cols["height"].append(img["height"])
+            cols["channels"].append(img["channels"])
+            cols["pixel_sum"].append(int(sum(img["pixels"])))
+        yield pd.DataFrame(cols)
+
+
+def q_jpeg_lossless_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real lossless-JPEG codec end to end at driver scale: text bytes
+    → arbitrary gray/RGB pixels → SOF3 encode (predictor selector and
+    restart interval vary per doc) → exact decode → pixel sum.  The
+    oracle reduces every decoded byte straight to the text bytes."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.mapInPandas(
+        _jpeg_lossless_roundtrip_mapper,
+        schema="doc_id long, width int, height int, channels int, pixel_sum long",
+    )
+
+
+SQL_JPEG_LOSSLESS_ROUNDTRIP = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h,
+         CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS ch
+  FROM documents
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(ch AS INT) AS channels,
+       CAST(list_sum(list_transform(generate_series(0, w * h * ch - 1),
+                     j -> ascii(substr(text, (j % n) + 1, 1)))) AS BIGINT) AS pixel_sum
+FROM d
+"""
+
+
+# ----------------------------------------------------------------------
 # real-GIF round trip: palette indices from text bytes → LSB-first LZW
 # encode → decode (interlace live on odd docs) → RGB pixel sum
 # ----------------------------------------------------------------------
@@ -1731,6 +1793,7 @@ def data_queries():
         "multimodal_meta": q_multimodal_meta,
         "png_roundtrip": q_png_roundtrip,
         "jpeg_roundtrip": q_jpeg_roundtrip,
+        "jpeg_lossless_roundtrip": q_jpeg_lossless_roundtrip,
         "gif_roundtrip": q_gif_roundtrip,
         "webp_roundtrip": q_webp_roundtrip,
         "wav_roundtrip": q_wav_roundtrip,
@@ -1779,6 +1842,7 @@ def data_oracle_sql():
         "multimodal_meta": SQL_MULTIMODAL_META,
         "png_roundtrip": _sql_png_roundtrip(),
         "jpeg_roundtrip": SQL_JPEG_ROUNDTRIP,
+        "jpeg_lossless_roundtrip": SQL_JPEG_LOSSLESS_ROUNDTRIP,
         "gif_roundtrip": SQL_GIF_ROUNDTRIP,
         "webp_roundtrip": _sql_webp_roundtrip(),
         "wav_roundtrip": SQL_WAV_ROUNDTRIP,

@@ -112,9 +112,10 @@ def test_color_420_subsampled_frame_header():
 def test_typed_errors():
     cases = [
         (b"\x00\x01", "not_jpeg"),
-        # progressive (SOF2) is SUPPORTED since round 3 — a bare SOF2
-        # header with 0 precision is a precision error, not a gate
-        (b"\xff\xd8\xff\xc3\x00\x0b" + bytes(9), "unsupported_sof"),  # lossless
+        # progressive (SOF2) is SUPPORTED since round 3, lossless
+        # (SOF3) since round 4 — a bare SOF2/SOF3 header with 0
+        # precision is a precision error, not a gate
+        (b"\xff\xd8\xff\xc3\x00\x0b" + bytes(9), "precision"),  # lossless: live
         (b"\xff\xd8\xff\xc9\x00\x0b" + bytes(9), "unsupported_sof"),  # arithmetic
         (b"\xff\xd8\xff\xca\x00\x0b" + bytes(9), "unsupported_sof"),  # arith prog
         (b"\xff\xd8\xff\xe0\xff\xff" + bytes(4), "truncated"),
@@ -300,3 +301,104 @@ def test_nonint_subsampling_typed_error():
     with pytest.raises(JpegError) as ei:
         decode_jpeg(patched)
     assert ei.value.code == "sampling"
+
+
+# ----------------------------------------------------------------------
+# lossless (SOF3) — round 4
+# ----------------------------------------------------------------------
+def test_lossless_roundtrip_all_predictors():
+    """SOF3 must be EXACT for every predictor/channel/restart combo."""
+    import random
+
+    from pdf_parser_spark.jpegcore import decode_jpeg, encode_jpeg_lossless
+
+    rng = random.Random(3)
+    for sel in range(1, 8):
+        for ch, ri in ((1, 0), (3, 0), (1, 3), (3, 4)):
+            w, h = 7, 5
+            px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            blob = encode_jpeg_lossless(
+                w, h, px, ch, predictor=sel, restart_interval=ri
+            )
+            img = decode_jpeg(blob)
+            assert (img["width"], img["height"], img["channels"]) == (w, h, ch)
+            assert img["pixels"] == px, (sel, ch, ri)
+
+
+def test_lossless_known_answer_hand_built():
+    """Fully hand-derived SOF3 stream (nothing routes through the
+    encoder): 2x1 gray, predictor 1, pixels [100, 103].
+
+    DHT: uniform 5-bit codes, symbol s -> code s (17 symbols 0..16).
+    Sample 0: pred=128 (2^7 default), diff=-28 -> SSSS 5, extend bits
+    -28+31=3 -> 00011.  Sample 1: pred=Ra=100, diff=3 -> SSSS 2, bits
+    11.  Bitstream 00101 00011 00010 11 + 1-padding:
+    0x28 0xC5 0xFF(+0x00 stuffing)."""
+    from pdf_parser_spark.jpegcore import decode_jpeg
+
+    blob = bytes(
+        [0xFF, 0xD8]
+        + [0xFF, 0xC3, 0x00, 0x0B, 8, 0, 1, 0, 2, 1, 0x01, 0x11, 0x00]
+        + [0xFF, 0xC4, 0x00, 0x24, 0x00]  # DHT: class 0 id 0, len 2+1+16+17=36
+        + [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]  # BITS
+        + list(range(17))  # HUFFVAL
+        + [0xFF, 0xDA, 0x00, 0x08, 1, 0x01, 0x00, 1, 0, 0]  # SOS: sel=1
+        + [0x28, 0xC5, 0xFF, 0x00]
+        + [0xFF, 0xD9]
+    )
+    img = decode_jpeg(blob)
+    assert (img["width"], img["height"], img["channels"]) == (2, 1, 1)
+    assert img["pixels"] == bytes([100, 103])
+
+
+def test_lossless_predictor_formulas_vs_spec_table():
+    """T.81 Table H.1 re-derived independently: >>1 is a floor shift,
+    not C trunc-toward-zero division."""
+    import math
+    import random
+
+    import numpy as np
+
+    from pdf_parser_spark.jpegcore import _predict_lossless
+
+    rng = random.Random(9)
+    for _ in range(200):
+        ra, rb, rc = (rng.randrange(256) for _ in range(3))
+        grid = np.array([[rc, rb], [ra, 0]], dtype=np.int64)
+        expected = {
+            1: ra,
+            2: rb,
+            3: rc,
+            4: ra + rb - rc,
+            5: ra + math.floor((rb - rc) / 2),
+            6: rb + math.floor((ra - rc) / 2),
+            7: math.floor((ra + rb) / 2),
+        }
+        for sel, want in expected.items():
+            assert _predict_lossless(grid, 1, 1, sel, 128) == want, (sel, ra, rb, rc)
+
+
+def test_lossless_point_transform_and_fuzz():
+    import random
+
+    import pytest
+
+    from pdf_parser_spark.jpegcore import JpegError, decode_jpeg, encode_jpeg_lossless
+
+    # Pt=1 drops the LSB: decode returns samples << 1
+    px = bytes([100, 103, 7, 255])
+    blob = encode_jpeg_lossless(4, 1, px, 1, predictor=1, point_transform=1)
+    img = decode_jpeg(blob)
+    assert img["pixels"] == bytes([(v >> 1) << 1 for v in px])
+
+    # corruption: typed JpegError or success only, never bare exceptions
+    rng = random.Random(4)
+    base = bytearray(encode_jpeg_lossless(6, 4, bytes(range(24)), 1, predictor=4))
+    for _ in range(300):
+        blob = bytearray(base)
+        for _k in range(rng.randrange(1, 5)):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        try:
+            decode_jpeg(bytes(blob[: rng.randrange(8, len(blob) + 1)]))
+        except JpegError:
+            pass
