@@ -479,6 +479,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.dedup_clusters(corpus, lsh.unionByName(sh))
 
 
+_CC_ROUNDS = 6
+
+
 def _sql_cc_chain() -> str:
     """CTE-chain fragment computing connected-component ``labels``
     (doc_id, cluster_id, is_canonical) from two CTEs the caller must
@@ -486,50 +489,81 @@ def _sql_cc_chain() -> str:
     node universe, singletons included). Must be spliced into a
     ``WITH RECURSIVE`` list AFTER those two.
 
-    The two ``cN``/``symN`` blocks are star-contraction pre-passes:
-    with b(x) = min(Γ(x) ∪ {x}), each edge (n,m) is replaced by
-    n—b(n), m—b(m), b(n)—b(m).  Components are preserved (every
-    replacement keeps n,m connected; every new edge joins nodes
-    already connected) and the component minimum m survives (b(m)=m,
-    and any neighbor x of m has b(x)=m, so m stays a hub).  Without
-    this, simhash near-CLIQUE families (158k pairs over 5500 docs at
-    sf0.1) make the reachability walk fan out quadratically per
-    iteration — 259 s; contracted to stars it's one cheap closure.
-    MATERIALIZED everywhere: DuckDB would otherwise inline (and
-    re-evaluate) the expensive edge CTEs each recursive iteration."""
-    contract = """
-  SELECT n AS u, b AS v FROM {b} WHERE n <> b
-  UNION
-  SELECT ba.b, bb.b
-  FROM {sym} s JOIN {b} ba ON ba.n = s.src JOIN {b} bb ON bb.n = s.dst
-  WHERE ba.b <> bb.b
-"""
-    bmin = "SELECT src AS n, LEAST(MIN(dst), src) AS b FROM {sym} GROUP BY src"
-    return f"""
-sym0 AS MATERIALIZED (
+    Round-4 rewrite after the sf1 fixture (16M near-clique edges over
+    55k nodes) broke the old 2-pass star-contraction + symmetric-walk
+    form two ways:
+
+    1. DuckDB 1.0's join-order optimizer turned the 3-way contraction
+       join into ``b0 NESTED_LOOP_JOIN b0 ON b != b`` FIRST (a 55k×55k
+       ~3G-row cross product, est. 1.4M) and probed sym0 afterwards —
+       hours and ~36 GiB.  Each contraction now runs as TWO staged
+       2-way hash joins through a MATERIALIZED intermediate (hN), which
+       the optimizer cannot reorder across.
+    2. The final reachability walk over a SYMMETRIC graph computes the
+       full k² closure of every residual component; sf1's mega-
+       components (≥5k nodes) made that explode.  The chain now
+       contracts the HUB graph only (star edges dropped; per-node
+       labels carried by pointer-jumping composition labN:
+       l := COALESCE(b_i[l], l)) for {_CC_ROUNDS} rounds — 16M → 134k
+       → 5.3k → 136 → 12 → 2 → 0 edges on the sf1 graph, ~1.6 s total
+       — and the recursive walk runs only on the tiny residual g{_CC_ROUNDS}
+       as a termination safety net (empty when contraction converged).
+
+    Correctness: with b(x) = min(Γ(x) ∪ {{x}}) and every edge (n,m)
+    relabeled to (b(n), b(m)), hub-graph components correspond to
+    original components, labels only decrease and stay within the
+    component, and the component minimum m survives every round
+    (b(m) = m).  MATERIALIZED everywhere: DuckDB would otherwise
+    inline (and re-evaluate) the expensive edge CTEs."""
+    K = _CC_ROUNDS
+    parts = [
+        """g0 AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM edges0
   UNION
   SELECT id_b AS src, id_a AS dst FROM edges0
-),
-b0 AS MATERIALIZED ({bmin.format(sym='sym0')}),
-c1 AS MATERIALIZED ({contract.format(b='b0', sym='sym0')}),
-sym1 AS MATERIALIZED (
-  SELECT u AS src, v AS dst FROM c1 UNION SELECT v, u FROM c1
-),
-b1 AS MATERIALIZED ({bmin.format(sym='sym1')}),
-c2 AS MATERIALIZED ({contract.format(b='b1', sym='sym1')}),
-csym AS MATERIALIZED (
-  SELECT u AS src, v AS dst FROM c2 UNION SELECT v, u FROM c2
-),
-walk(id, r) AS (
-  SELECT doc_id, doc_id FROM ccorpus
-  UNION
-  SELECT w.id, s.dst FROM walk w JOIN csym s ON s.src = w.r
-),
-labels AS (
-  SELECT id AS doc_id, MIN(r) AS cluster_id, (MIN(r) = id) AS is_canonical
-  FROM walk GROUP BY id
 )"""
+    ]
+    for i in range(K):
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT src AS n, LEAST(MIN(dst), src) AS b"
+            f" FROM g{i} GROUP BY src)"
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT ba.b AS u, s.dst AS dst"
+            f" FROM g{i} s JOIN b{i} ba ON ba.n = s.src)"
+        )
+        # relabeled graph stays symmetric: edge (n,m) and its mirror
+        # (m,n) map to (b(n),b(m)) and (b(m),b(n))
+        parts.append(
+            f"g{i + 1} AS MATERIALIZED (SELECT DISTINCT h.u AS src, bb.b AS dst"
+            f" FROM h{i} h JOIN b{i} bb ON bb.n = h.dst WHERE h.u <> bb.b)"
+        )
+    parts.append(
+        "lab0 AS MATERIALIZED (SELECT c.doc_id, COALESCE(b0.b, c.doc_id) AS l"
+        " FROM ccorpus c LEFT JOIN b0 ON b0.n = c.doc_id)"
+    )
+    for i in range(1, K):
+        parts.append(
+            f"lab{i} AS MATERIALIZED (SELECT doc_id, COALESCE(b{i}.b, l) AS l"
+            f" FROM lab{i - 1} LEFT JOIN b{i} ON b{i}.n = lab{i - 1}.l)"
+        )
+    parts.append(
+        f"""walk(id, r) AS (
+  SELECT src, src FROM g{K}
+  UNION
+  SELECT w.id, s.dst FROM walk w JOIN g{K} s ON s.src = w.r
+)"""
+    )
+    parts.append("hubmin AS (SELECT id, MIN(r) AS m FROM walk GROUP BY id)")
+    parts.append(
+        f"""labels AS (
+  SELECT lb.doc_id,
+         COALESCE(hm.m, lb.l) AS cluster_id,
+         (COALESCE(hm.m, lb.l) = lb.doc_id) AS is_canonical
+  FROM lab{K - 1} lb LEFT JOIN hubmin hm ON hm.id = lb.l
+)"""
+    )
+    return ",\n".join(parts)
 
 
 def _sql_dedup_clusters() -> str:
