@@ -7,7 +7,11 @@ DIFFERENT LZW than the MSB-first early-change PDF flavor in
 Scope (typed :class:`GifError` outside it):
 
 - decode: 87a/89a, global/local color tables, the first image frame
-  (animation frames beyond the first are counted, not decoded),
+  via decode_gif, and (round 4) FULL animation decode via
+  decode_gif_frames — GIF89a Graphic Control semantics: transparency
+  index, disposal 0/1 (leave) / 2 (restore rect to background color —
+  documented convention, output has no alpha) / 3 (restore to
+  previous canvas), composed RGB canvases per frame,
   interlaced row order, transparency ignored (bytes are returned as
   opaque RGB), sub-block stitching.
 - encode: single-frame GIF89a with a caller palette and NON-compressed
@@ -238,3 +242,180 @@ def encode_gif(width: int, height: int, indices: bytes, palette: bytes,
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ----------------------------------------------------------------------
+# animated GIF (round 4): full GIF89a frame decode with GCE semantics
+# ----------------------------------------------------------------------
+def _lzw_clear_style(indices: bytes, depth: int) -> bytes:
+    """Clear-before-every-pixel LZW payload (same scheme encode_gif
+    uses): valid, dictionary-free output."""
+    clear = 1 << depth
+    eoi = clear + 1
+    width_bits = depth + 1
+    acc = nacc = 0
+    payload = bytearray()
+    for i in list(indices) + [None]:
+        for code in ((clear, i) if i is not None else (eoi,)):
+            acc |= code << nacc
+            nacc += width_bits
+            while nacc >= 8:
+                payload.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+    if nacc:
+        payload.append(acc & 0xFF)
+    return bytes(payload)
+
+
+def encode_gif_animated(
+    width: int,
+    height: int,
+    frames,
+    palette: bytes,
+    rects=None,
+    delays=None,
+    disposals=None,
+    transparent_idx: int = None,
+    background: int = 0,
+) -> bytes:
+    """Multi-frame GIF89a for fixture synthesis: per-frame Graphic
+    Control Extensions (disposal method, delay, optional transparency)
+    and per-frame rects (defaults to the full canvas)."""
+    n_colors = len(palette) // 3
+    if n_colors < 2 or n_colors > 256 or (n_colors & (n_colors - 1)):
+        raise GifError("encode_palette", "palette size must be a power of two in 2..256")
+    depth = max(2, n_colors.bit_length() - 1)
+    rects = rects or [(0, 0, width, height)] * len(frames)
+    delays = delays or [4] * len(frames)
+    disposals = disposals or [0] * len(frames)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), background, 0)
+    out += palette + b"\x00" * (3 * ((1 << depth) - n_colors))
+    for idxs, (ix, iy, iw, ih), delay, disp in zip(frames, rects, delays, disposals):
+        if len(idxs) != iw * ih:
+            raise GifError("encode_size", "frame buffer does not match its rect")
+        flags = (disp & 7) << 2
+        tidx = 0
+        if transparent_idx is not None:
+            flags |= 1
+            tidx = transparent_idx
+        out += b"\x21\xf9\x04" + bytes([flags]) + struct.pack("<H", delay) + bytes([tidx, 0])
+        out += b"\x2c" + struct.pack("<HHHH", ix, iy, iw, ih) + b"\x00"
+        payload = _lzw_clear_style(idxs, depth)
+        out += bytes([depth])
+        for i in range(0, len(payload), 255):
+            chunk = payload[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes, max_frames: int = None) -> Dict:
+    """Decode ALL frames of a (possibly animated) GIF with GIF89a
+    Graphic Control semantics: transparency index, disposal methods
+    0/1 (leave), 2 (restore rect to background color) and 3 (restore
+    rect to the previous canvas).  Output frames are fully COMPOSED
+    RGB canvases.  Since the output has no alpha channel, "background"
+    restores paint the global background color (GCT[bg], black when
+    absent) — the documented convention of this pipeline.
+
+    → {width, height, channels=3, frames: [bytes], delays: [centisec],
+       n_frames}."""
+    hdr = parse_gif_header(data)
+    w, h = hdr["width"], hdr["height"]
+    packed, bg_idx = data[10], data[11]
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    bg_rgb = gct[3 * bg_idx : 3 * bg_idx + 3] if len(gct) >= 3 * bg_idx + 3 else b"\x00\x00\x00"
+    canvas = bytearray(bg_rgb * (w * h))
+    frames, delays = [], []
+    gce = None  # (disposal, transparent_idx or None, delay)
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            if pos + 2 > len(data):
+                raise GifError("truncated", "extension overruns file")
+            label = data[pos + 1]
+            body, pos = _sub_blocks(data, pos + 2)
+            if label == 0xF9 and len(body) >= 4:
+                flags = body[0]
+                delay = struct.unpack("<H", body[1:3])[0]
+                tidx = body[3] if flags & 1 else None
+                gce = ((flags >> 2) & 7, tidx, delay)
+            continue
+        if b0 != 0x2C:
+            raise GifError("corrupt", f"unexpected block 0x{b0:02X}")
+        if pos + 10 > len(data):
+            raise GifError("truncated", "image descriptor overruns file")
+        ix, iy, iw, ih = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+        ipacked = data[pos + 9]
+        pos += 10
+        lct = b""
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            lct = data[pos : pos + 3 * n]
+            pos += 3 * n
+        if pos >= len(data):
+            raise GifError("truncated", "missing LZW minimum code size")
+        min_code = data[pos]
+        if not (2 <= min_code <= 11):
+            raise GifError("lzw", f"bad LZW minimum code size {min_code}")
+        payload, pos = _sub_blocks(data, pos + 1)
+        palette = lct or gct
+        if not palette:
+            raise GifError("no_palette", "image without global or local color table")
+        idx = _lzw_decode_gif(min_code, payload, iw * ih)
+        if len(idx) < iw * ih:
+            raise GifError("truncated", "LZW data shorter than frame")
+        if ipacked & 0x40:  # de-interlace
+            rows = []
+            for start, step in _INTERLACE:
+                rows.extend(range(start, ih, step))
+            ordered = bytearray(iw * ih)
+            for src_row, dst_row in enumerate(rows):
+                ordered[dst_row * iw : (dst_row + 1) * iw] = idx[
+                    src_row * iw : (src_row + 1) * iw
+                ]
+            idx = bytes(ordered)
+        disp, tidx, delay = gce if gce else (0, None, 0)
+        gce = None  # a GCE applies to exactly one following image
+        snapshot = bytes(canvas) if disp == 3 else None
+        for row in range(ih):
+            y = iy + row
+            if y >= h:
+                break
+            for col in range(min(iw, max(0, w - ix))):
+                i = idx[row * iw + col]
+                if tidx is not None and i == tidx:
+                    continue  # transparent: previous canvas shows through
+                off = i * 3
+                if off + 3 > len(palette):
+                    raise GifError("palette_range", "palette index out of range")
+                o = (y * w + ix + col) * 3
+                canvas[o : o + 3] = palette[off : off + 3]
+        frames.append(bytes(canvas))
+        delays.append(delay)
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+        if disp == 2:  # restore rect to background color
+            for row in range(ih):
+                y = iy + row
+                if y >= h:
+                    break
+                for col in range(min(iw, max(0, w - ix))):
+                    o = (y * w + ix + col) * 3
+                    canvas[o : o + 3] = bg_rgb
+        elif disp == 3 and snapshot is not None:  # restore to previous
+            canvas = bytearray(snapshot)
+    if not frames:
+        raise GifError("no_image", "no image descriptor found")
+    return {"width": w, "height": h, "channels": 3, "frames": frames,
+            "delays": delays, "n_frames": len(frames)}

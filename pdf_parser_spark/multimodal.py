@@ -227,6 +227,16 @@ def sample_frames(blob: bytes, every: int) -> List[Tuple[int, int]]:
     frame. Every other real codec (H.264 in MP4, non-MJPEG AVI
     streams) raises the typed gate — it used to fall through to the
     FAKE-container payload math and report container bytes as pixels."""
+    if blob[:4] == b"GIF8":
+        # REAL animated-GIF frame decode (round 4): frames are fully
+        # COMPOSED canvases per GIF89a disposal/transparency semantics
+        from . import gifcore
+
+        dec = gifcore.decode_gif_frames(blob)
+        return [
+            (i, dec["frames"][i][0] if dec["frames"][i] else 0)
+            for i in range(0, dec["n_frames"], every)
+        ]
     meta = decode_media(blob)
     if meta["kind"] != "video":
         raise ValueError("not a video")

@@ -251,3 +251,18 @@ def test_avi_frame_stats_stage_rows(spark):
     assert rows[(1, 2)]["first_pixel"] == 250 and rows[(1, 2)]["error"] is None
     err = rows[(2, None)]
     assert err["first_pixel"] is None and "XVID" in err["error"]
+
+
+def test_sampled_frames_animated_gif_real_pixels():
+    """Animated GIFs flow through sampled_frames with REAL composed
+    pixels (round 4) instead of the 'not a video' error row."""
+    from pdf_parser_spark.gifcore import encode_gif_animated
+    from pdf_parser_spark.multimodal import sample_frames
+
+    pal = bytes([7, 7, 7, 100, 0, 0, 0, 100, 0, 9, 9, 9])
+    frames = [bytes([1] * 4), bytes([2] * 4), bytes([1] * 4)]
+    blob = encode_gif_animated(2, 2, frames, pal)
+    out = sample_frames(blob, every=1)
+    # first composed pixel of each frame = red, green, red channel R
+    assert out == [(0, 100), (1, 0), (2, 100)]
+    assert sample_frames(blob, every=2) == [(0, 100), (2, 100)]
