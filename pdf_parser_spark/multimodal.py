@@ -218,6 +218,11 @@ def thumb_pixel_sum(thumb: bytes) -> int:
     return int(sum(thumb[11:]))
 
 
+# Executor-side safety cap for animated-GIF compositing: beyond this a
+# blob yields a typed error row, never an unbounded pure-Python decode.
+_MAX_GIF_FRAMES = 4096
+
+
 def sample_frames(blob: bytes, every: int) -> List[Tuple[int, int]]:
     """(frame_index, first_pixel) for every ``every``-th video frame.
 
@@ -229,10 +234,18 @@ def sample_frames(blob: bytes, every: int) -> List[Tuple[int, int]]:
     FAKE-container payload math and report container bytes as pixels."""
     if blob[:4] == b"GIF8":
         # REAL animated-GIF frame decode (round 4): frames are fully
-        # COMPOSED canvases per GIF89a disposal/transparency semantics
+        # COMPOSED canvases per GIF89a disposal/transparency semantics.
+        # Compositing is sequential (disposal state), so every frame up
+        # to the last sampled one must be decoded — but a pathological
+        # GIF with thousands of frames must not pin an executor in pure
+        # Python: hard-cap the decode and surface a typed error row.
         from . import gifcore
 
-        dec = gifcore.decode_gif_frames(blob)
+        dec = gifcore.decode_gif_frames(blob, max_frames=_MAX_GIF_FRAMES + 1)
+        if dec["n_frames"] > _MAX_GIF_FRAMES:
+            raise ValueError(
+                f"animated GIF exceeds the {_MAX_GIF_FRAMES}-frame decode cap"
+            )
         return [
             (i, dec["frames"][i][0] if dec["frames"][i] else 0)
             for i in range(0, dec["n_frames"], every)

@@ -130,20 +130,23 @@ class StandardSecurityHandler:
             # filter is not AESV3 (e.g. /CFM /Identity) must raise the
             # typed error, not be "decrypted" into garbage.
             cf = encrypt.get("CF")
-            if isinstance(cf, dict):
-                std = cf.get("StdCF")
-                if not isinstance(std, dict):
-                    raise CryptError("cf", "V5 /CF without a /StdCF crypt filter")
-                cfm = str(std.get("CFM", ""))
-                if cfm != "AESV3":
-                    raise CryptError("cf", f"V5 requires /CFM AESV3, got {cfm!r}")
-                stmf = str(encrypt.get("StmF", "Identity"))
-                strf = str(encrypt.get("StrF", "Identity"))
-                if stmf != "StdCF" or strf != "StdCF":
-                    raise CryptError(
-                        "cf",
-                        f"only StmF=StrF=StdCF supported (StmF={stmf} StrF={strf})",
-                    )
+            if not isinstance(cf, dict):
+                # A V5 dict with /CF absent (or malformed) must not fall
+                # through to AES-256 decryption of possibly-Identity content.
+                raise CryptError("cf", "V5 requires a /CF dict with /StdCF")
+            std = cf.get("StdCF")
+            if not isinstance(std, dict):
+                raise CryptError("cf", "V5 /CF without a /StdCF crypt filter")
+            cfm = str(std.get("CFM", ""))
+            if cfm != "AESV3":
+                raise CryptError("cf", f"V5 requires /CFM AESV3, got {cfm!r}")
+            stmf = str(encrypt.get("StmF", "Identity"))
+            strf = str(encrypt.get("StrF", "Identity"))
+            if stmf != "StdCF" or strf != "StdCF":
+                raise CryptError(
+                    "cf",
+                    f"only StmF=StrF=StdCF supported (StmF={stmf} StrF={strf})",
+                )
             self.cipher = "aes256"
             self._init_aes256(encrypt)
         else:

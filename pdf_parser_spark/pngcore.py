@@ -71,31 +71,42 @@ def encode_png(
             + _chunk(b"IDAT", zlib.compress(raw7))
             + _chunk(b"IEND", b"")
         )
+    # Filtering on the ENCODE side has no recurrence — predictions read
+    # the original raster, so the whole image filters in one numpy pass
+    # (round-5 vectorization; bytes identical to the old per-pixel loop).
+    import numpy as np
+
     row_len = width * ch
-    raw = bytearray()
-    prev = bytes(row_len)
-    for y in range(height):
-        row = pixels[y * row_len : (y + 1) * row_len]
-        raw.append(filter_type)
-        if filter_type == 0:
-            raw += row
-        else:
-            for i in range(row_len):
-                a = row[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                if filter_type == 1:
-                    pred = a
-                elif filter_type == 2:
-                    pred = b
-                elif filter_type == 3:
-                    pred = (a + b) // 2
-                else:  # Paeth
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                raw.append((row[i] - pred) & 0xFF)
-        prev = row
+    arr = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(height, row_len)
+        .astype(np.int16)
+    )
+    if filter_type == 0:
+        pred = np.zeros_like(arr)
+    else:
+        left = np.zeros_like(arr)
+        left[:, ch:] = arr[:, :-ch]
+        up = np.zeros_like(arr)
+        up[1:] = arr[:-1]
+        if filter_type == 1:
+            pred = left
+        elif filter_type == 2:
+            pred = up
+        elif filter_type == 3:
+            pred = (left + up) >> 1
+        else:  # Paeth
+            corner = np.zeros_like(arr)
+            corner[1:, ch:] = arr[:-1, :-ch]
+            p = left + up - corner
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - corner)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, corner)
+            )
+    filtered = np.empty((height, row_len + 1), dtype=np.uint8)
+    filtered[:, 0] = filter_type
+    filtered[:, 1:] = (arr - pred).astype(np.uint8)  # wrap = & 0xFF
+    raw = filtered.tobytes()
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
         _SIG
@@ -162,13 +173,13 @@ def decode_png(data: bytes) -> Dict:
     if ct == 3:
         if not plte:
             raise PngError("no_plte", "palette image without PLTE chunk")
-        rgb = bytearray()
-        for idx in pixels:
-            off = idx * 3
-            if off + 3 > len(plte):
-                raise PngError("plte_range", "palette index out of range")
-            rgb += plte[off : off + 3]
-        pixels, ch, ct = bytes(rgb), 3, 2
+        import numpy as np
+
+        idx = np.frombuffer(pixels, dtype=np.uint8)
+        if idx.size and int(idx.max()) * 3 + 3 > len(plte):
+            raise PngError("plte_range", "palette index out of range")
+        pal = np.frombuffer(plte[: (len(plte) // 3) * 3], dtype=np.uint8).reshape(-1, 3)
+        pixels, ch, ct = pal[idx].tobytes(), 3, 2
     return {
         "width": w,
         "height": h,
@@ -189,8 +200,12 @@ _ADAM7 = [
 def _deinterlace_adam7(raw: bytes, w: int, h: int, ch: int) -> bytes:
     """Seven independently-filtered sub-images → full raster. Empty
     passes (sub-image with zero width or height) contribute no bytes,
-    not even filter bytes, per the PNG spec."""
-    out = bytearray(w * h * ch)
+    not even filter bytes, per the PNG spec.  Pass placement is one
+    strided-slice numpy assignment per pass (round-5: replaces the
+    per-pixel loop — the technique already used for resize_nearest)."""
+    import numpy as np
+
+    out = np.zeros((h, w, ch), dtype=np.uint8)
     pos = 0
     for x0, y0, dx, dy in _ADAM7:
         pw = (w - x0 + dx - 1) // dx
@@ -205,32 +220,27 @@ def _deinterlace_adam7(raw: bytes, w: int, h: int, ch: int) -> bytes:
             {"Predictor": 15, "Colors": ch, "BitsPerComponent": 8, "Columns": pw},
         )
         pos += need
-        for py in range(ph):
-            y = y0 + py * dy
-            row = sub[py * pw * ch : (py + 1) * pw * ch]
-            for px in range(pw):
-                x = x0 + px * dx
-                off = (y * w + x) * ch
-                out[off : off + ch] = row[px * ch : (px + 1) * ch]
-    return bytes(out)
+        out[y0::dy, x0::dx] = np.frombuffer(sub, dtype=np.uint8).reshape(
+            ph, pw, ch
+        )
+    return out.tobytes()
 
 
 def _interlace_adam7(pixels: bytes, w: int, h: int, ch: int) -> bytes:
     """Raster → concatenated Adam7 pass scanlines with filter-0 bytes
     (encoder side, used to synthesize interlaced test fixtures)."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ch)
     out = bytearray()
     for x0, y0, dx, dy in _ADAM7:
         pw = (w - x0 + dx - 1) // dx
         ph = (h - y0 + dy - 1) // dy
         if pw == 0 or ph == 0:
             continue
-        for py in range(ph):
-            y = y0 + py * dy
-            out.append(0)  # filter None per scanline
-            for px in range(pw):
-                x = x0 + px * dx
-                off = (y * w + x) * ch
-                out += pixels[off : off + ch]
+        rows = np.zeros((ph, pw * ch + 1), dtype=np.uint8)
+        rows[:, 1:] = arr[y0::dy, x0::dx].reshape(ph, pw * ch)
+        out += rows.tobytes()
     return bytes(out)
 
 

@@ -296,7 +296,9 @@ end""".encode()
                     f"/P -44 >>"
                 )
                 enc_dict = {"Filter": "Standard", "V": 5, "R": r, "Length": 256,
-                            "O": o, "OE": oe, "U": u, "UE": ue, "P": -44}
+                            "O": o, "OE": oe, "U": u, "UE": ue, "P": -44,
+                            "CF": {"StdCF": {"CFM": "AESV3", "Length": 32}},
+                            "StmF": "StdCF", "StrF": "StdCF"}
             elif mode == "aesv2":
                 o, u, _key = make_encrypt_params(4, 128, id0)
                 enc_body = (

@@ -383,13 +383,18 @@ def connected_components(
     ``(node_id, cluster_id)``.
 
     The iteration shuffles are clamped to ``defaultParallelism``
-    partitions for the duration of the loop (conf restored after): the
-    edge set only SHRINKS round over round, so a driver-level
-    ``spark.sql.shuffle.partitions`` sized for the big scan (256 here,
-    thousands on a real cluster) turns ~6 shuffles × ~4 rounds into a
-    sea of empty tasks — pure scheduler overhead at every scale. The
-    clamp tracks cluster size (defaultParallelism = total cores), so it
-    is not a local-mode hack.
+    partitions via explicit ``repartition(n, key)`` nodes INSIDE the
+    loop plan (Catalyst reuses that hash partitioning for the
+    downstream groupBy/join/distinct on the same key, so each clamp is
+    one exchange, not one extra): the edge set only SHRINKS round over
+    round, so a driver-level ``spark.sql.shuffle.partitions`` sized for
+    the big scan (256 here, thousands on a real cluster) would turn
+    ~6 shuffles × ~4 rounds into a sea of empty tasks — pure scheduler
+    overhead at every scale. Per-plan clamping (rather than mutating
+    ``spark.sql.shuffle.partitions`` for the loop's duration) keeps the
+    session conf untouched, so concurrent queries on the same
+    SparkSession are unaffected. The clamp tracks cluster size
+    (defaultParallelism = total cores), so it is not a local-mode hack.
     """
     spark = pairs.sparkSession
     e = (
@@ -401,18 +406,8 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(max(spark.sparkContext.defaultParallelism, 8)),
-    )
-    try:
-        e = _cc_loop(e, max_iter)
-    finally:
-        if old_sp is None:
-            spark.conf.unset("spark.sql.shuffle.partitions")
-        else:
-            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    e = _cc_loop(e, n_part, max_iter)
     # at the fixpoint every edge is (member, root); roots have no u-row
     roots = e.select(F.col("v").alias("node_id")).distinct()
     return (
@@ -421,47 +416,66 @@ def connected_components(
     )
 
 
-def _cc_loop(e: DataFrame, max_iter: int) -> DataFrame:
+def _cc_loop(e: DataFrame, n_part: int, max_iter: int) -> DataFrame:
     """Alternating large-star/small-star rounds until the edge set is
-    stable; every round's result is eagerly checkpointed, so the loop
-    body executes under the caller's scoped shuffle-partition clamp."""
+    stable; every round's result is eagerly checkpointed.  All loop
+    shuffles hash-partition by their operation key into ``n_part``
+    partitions via explicit repartition — HashPartitioning(key, n_part)
+    satisfies the ClusteredDistribution of every downstream
+    groupBy/join/distinct keyed on (a superset of) that key, so
+    EnsureRequirements inserts no further exchange and the session's
+    ``spark.sql.shuffle.partitions`` never applies inside the loop."""
     prev, prev_n = None, -1
     for _ in range(max_iter):
-        # large-star: every neighbor LARGER than n links to
-        # m(n) = min(Γ(n) ∪ {n}); invariant u > v holds on the output
-        # because m ≤ n < nb.
-        sym = e.select(F.col("u").alias("n"), F.col("v").alias("nb")).union(
-            e.select(F.col("v").alias("n"), F.col("u").alias("nb"))
-        )
-        mins = sym.groupBy("n").agg(F.min("nb").alias("mn"))
-        ls = (
-            sym.join(mins, "n")
-            .filter(F.col("nb") > F.col("n"))
-            .select(
-                F.col("nb").alias("u"),
-                F.least(F.col("n"), F.col("mn")).alias("v"),
-            )
-            .distinct()
-        )
-        # small-star: edges already point large→small, so per u the
-        # min smaller-neighbor mn is the hub; every other member of
-        # Γ(u) ∪ {u} links to it.
-        mins2 = ls.groupBy("u").agg(F.min("v").alias("mn"))
-        ss = (
-            ls.join(mins2, "u")
-            .select(F.col("v").alias("x"), F.col("mn"))
-            .filter(F.col("x") != F.col("mn"))
-            .union(mins2.select(F.col("u").alias("x"), F.col("mn")))
-            .distinct()
-            .select(F.col("x").alias("u"), F.col("mn").alias("v"))
-        )
-        e = ss.localCheckpoint(eager=True)
+        e = _cc_round(e, n_part).localCheckpoint(eager=True)
         n = e.count()
         if prev is not None and n == prev_n and e.exceptAll(prev).isEmpty():
             return e
         prev, prev_n = e, n
     raise ValueError(
         f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def _cc_round(e: DataFrame, n_part: int) -> DataFrame:
+    """One large-star + small-star contraction round (pre-checkpoint).
+
+    Exactly three exchanges, all explicit REPARTITION_BY_NUM on
+    ``n_part`` — the plan suite asserts EnsureRequirements adds none
+    (i.e. the session's shuffle.partitions never applies here)."""
+    # large-star: every neighbor LARGER than n links to
+    # m(n) = min(Γ(n) ∪ {n}); invariant u > v holds on the output
+    # because m ≤ n < nb.
+    sym = (
+        e.select(F.col("u").alias("n"), F.col("v").alias("nb"))
+        .union(e.select(F.col("v").alias("n"), F.col("u").alias("nb")))
+        .repartition(n_part, "n")
+    )
+    mins = sym.groupBy("n").agg(F.min("nb").alias("mn"))
+    ls = (
+        sym.join(mins, "n")
+        .filter(F.col("nb") > F.col("n"))
+        .select(
+            F.col("nb").alias("u"),
+            F.least(F.col("n"), F.col("mn")).alias("v"),
+        )
+        # partitioning by u alone satisfies the (u, v) distinct AND
+        # the small-star groupBy/join on u below — one exchange
+        .repartition(n_part, "u")
+        .distinct()
+    )
+    # small-star: edges already point large→small, so per u the
+    # min smaller-neighbor mn is the hub; every other member of
+    # Γ(u) ∪ {u} links to it.
+    mins2 = ls.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        ls.join(mins2, "u")
+        .select(F.col("v").alias("x"), F.col("mn"))
+        .filter(F.col("x") != F.col("mn"))
+        .union(mins2.select(F.col("u").alias("x"), F.col("mn")))
+        .repartition(n_part, "x")
+        .distinct()
+        .select(F.col("x").alias("u"), F.col("mn").alias("v"))
     )
 
 

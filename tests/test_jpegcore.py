@@ -351,6 +351,59 @@ def test_lossless_known_answer_hand_built():
     assert img["pixels"] == bytes([100, 103])
 
 
+def test_lossless_restart_known_answer_hand_built():
+    """Hand-derived SOF3 stream with a RESTART — pins the T.81 H.1.2.1
+    convention (Cornell/libjpeg-lossless) that a restart resets
+    prediction as at the start of a scan: first post-RSTn sample uses
+    the 2^(P-1) default and the REST of the interval's first line uses
+    Ra, NOT the scan's selected predictor.  Nothing routes through the
+    paired encoder, so encoder/decoder bug-cancellation cannot hide a
+    wrong convention (the pre-round-5 decoder would give (1,1) =
+    Rb + 1 = 104 here instead of 121).
+
+    3x2 gray, predictor 2 (Rb), DRI=3 (restart at the start of row 1),
+    pixels row0 [100,103,106] row1 [120,121,122].  Uniform 5-bit DHT
+    (symbol s → code s).  Diffs: -28(s5,b3) 3(s2,b3) 3 | RST0 |
+    -8(s4,b7) 1(s1,b1) 1 → bytes 28 C5 8B  FFD0  23 86 1F."""
+    from pdf_parser_spark.jpegcore import decode_jpeg
+
+    blob = bytes(
+        [0xFF, 0xD8]
+        + [0xFF, 0xC3, 0x00, 0x0B, 8, 0, 2, 0, 3, 1, 0x01, 0x11, 0x00]
+        + [0xFF, 0xC4, 0x00, 0x24, 0x00]
+        + [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]  # BITS
+        + list(range(17))  # HUFFVAL
+        + [0xFF, 0xDD, 0x00, 0x04, 0x00, 0x03]  # DRI = 3
+        + [0xFF, 0xDA, 0x00, 0x08, 1, 0x01, 0x00, 2, 0, 0]  # SOS: sel=2
+        + [0x28, 0xC5, 0x8B, 0xFF, 0xD0, 0x23, 0x86, 0x1F]
+        + [0xFF, 0xD9]
+    )
+    img = decode_jpeg(blob)
+    assert (img["width"], img["height"], img["channels"]) == (3, 2, 1)
+    assert img["pixels"] == bytes([100, 103, 106, 120, 121, 122])
+
+
+def test_sos_truncated_raises_typed_error():
+    """A SOS whose body is shorter than its declared Ns must raise the
+    typed JpegError, never a bare IndexError (ADVICE round-4): the
+    multimodal stage mappers only convert typed errors to error rows."""
+    import pytest
+
+    from pdf_parser_spark.jpegcore import JpegError, decode_jpeg, encode_jpeg, encode_jpeg_lossless
+
+    for blob in (
+        encode_jpeg(8, 8, bytes(range(64)), 1),
+        encode_jpeg_lossless(4, 2, bytes(range(8)), 1),
+    ):
+        i = blob.find(b"\xff\xda")
+        assert i > 0
+        # declare Ns=4 with only one component entry following
+        bad = bytearray(blob)
+        bad[i + 4] = 4
+        with pytest.raises(JpegError):
+            decode_jpeg(bytes(bad))
+
+
 def test_lossless_predictor_formulas_vs_spec_table():
     """T.81 Table H.1 re-derived independently: >>1 is a floor shift,
     not C trunc-toward-zero division."""

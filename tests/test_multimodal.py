@@ -266,3 +266,21 @@ def test_sampled_frames_animated_gif_real_pixels():
     # first composed pixel of each frame = red, green, red channel R
     assert out == [(0, 100), (1, 0), (2, 100)]
     assert sample_frames(blob, every=2) == [(0, 100), (2, 100)]
+
+
+def test_sampled_frames_gif_frame_cap_typed_error(monkeypatch):
+    """A GIF past the compositing frame cap raises the typed ValueError
+    (→ error row in the stage mappers), never an unbounded pure-Python
+    decode; a GIF at the cap still decodes."""
+    import pytest
+
+    from pdf_parser_spark import multimodal as mm
+    from pdf_parser_spark.gifcore import encode_gif_animated
+
+    pal = bytes([7, 7, 7, 100, 0, 0, 0, 100, 0, 9, 9, 9])
+    blob = encode_gif_animated(2, 2, [bytes([1] * 4)] * 6, pal)
+    monkeypatch.setattr(mm, "_MAX_GIF_FRAMES", 4)
+    with pytest.raises(ValueError, match="frame decode cap"):
+        mm.sample_frames(blob, every=1)
+    monkeypatch.setattr(mm, "_MAX_GIF_FRAMES", 6)
+    assert len(mm.sample_frames(blob, every=1)) == 6

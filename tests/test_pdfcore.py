@@ -330,6 +330,18 @@ def test_unsupported_envelope_stays_typed_error():
     with pytest.raises(PdfError) as ei:
         parse_pdf(bare_v4, decrypt=True)
     assert ei.value.code == "encrypted" and "StdCF" in str(ei.value)
+    # V5 claimed but /CF stripped entirely → typed error, never AES-256
+    # decryption of possibly-Identity content (ADVICE round-4)
+    b5 = PdfBuilder(encrypt_rc4={"mode": "aesv3", "r": 6})
+    b5.new_page().text(72, 720, "x")
+    pdf5 = b5.build()
+    cf_part = b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+    assert cf_part in pdf5
+    # same-length whitespace so xref offsets stay valid
+    no_cf = pdf5.replace(cf_part, b" " * len(cf_part))
+    with pytest.raises(PdfError) as ei:
+        parse_pdf(no_cf, decrypt=True)
+    assert ei.value.code == "encrypted" and "StdCF" in str(ei.value)
     # corrupt /U → password check fails → typed error, not garbage text
     import re
     m = re.search(rb"/U <([0-9a-f]+)>", pdf)

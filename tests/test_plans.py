@@ -146,3 +146,67 @@ def test_domain_stats_distinct_agg_shape_no_udf(spark):
     p = plan_of(qd.q_domain_stats(spark, SF))
     assert _agg_exchanges(p) == 3  # input spread + the distinct-agg pair
     assert "Python" not in p  # host/suffix parsing stays native
+
+
+def test_cc_round_clamped_exchanges_only(spark):
+    """One star-contraction round must shuffle exactly 3 times, every
+    exchange an explicit REPARTITION_BY_NUM on the clamp count — if
+    someone "simplifies" the repartition(n, key) nodes away, the
+    groupBy/join/distinct fall back to EnsureRequirements exchanges at
+    the session's shuffle.partitions (the empty-task sea this guards
+    against, and a session-conf dependency the operator must not have)."""
+    from pdf_parser_spark import textops
+
+    # production-faithful input: the loop always runs over a
+    # localCheckpoint (unknown stats → no auto-broadcast shortcuts)
+    e = spark.range(100).select(
+        (F.col("id") % 37).alias("u"), (F.col("id") % 11).alias("v")
+    ).localCheckpoint(eager=True)
+    p = plan_of(textops._cc_round(e, 8))
+    detail = [l for l in p.splitlines() if l.startswith("Arguments: hashpartitioning")]
+    assert len(detail) >= 3, f"expected the 3 clamp exchanges:\n{p}"
+    for line in detail:
+        assert "REPARTITION_BY_NUM" in line, f"non-explicit exchange: {line}"
+        assert ", 8)," in line, f"clamp count not applied: {line}"
+    assert "ENSURE_REQUIREMENTS" not in p
+    assert "SinglePartition" not in p
+
+
+def test_connected_components_checkpointed_no_conf_mutation(spark):
+    """The iterative lineage must be truncated (result reads from the
+    checkpoint RDD, not a round-over-round join tower) and the session
+    shuffle conf must come back untouched."""
+    from pdf_parser_spark import textops
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (9, 9)], "id_a long, id_b long"
+    )
+    cc = textops.connected_components(pairs)
+    p = plan_of(cc)
+    assert "Scan ExistingRDD" in p  # CC result enters via checkpoint
+    assert ") Join" not in p  # no star-contraction join survives
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    got = {(r.node_id, r.cluster_id) for r in cc.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+
+
+def test_top_k_per_key_two_stage_window(spark):
+    """Skew-safe quota: two row_number windows (salted partial + exact),
+    and never a single-partition exchange (the naive global form)."""
+    from pdf_parser_spark import textops
+
+    df = spark.range(500).select(
+        (F.col("id") % 3).cast("string").alias("domain"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97).cast("double").alias("score"),
+    )
+    out = textops.top_k_per_key(
+        df, ["domain"], [F.desc("score"), F.asc("doc_id")], 5, "doc_id"
+    )
+    p = plan_of(out)
+    n_windows = sum(1 for l in p.splitlines() if l.rstrip().endswith(") Window"))
+    assert n_windows == 2, f"expected 2 window stages:\n{p}"
+    assert "SinglePartition" not in p
+    # stage-1 partitions by (key, salt); stage-2 by key alone
+    assert any("hashpartitioning(domain" in l and "_salt" in l for l in p.splitlines())

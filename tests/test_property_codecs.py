@@ -120,7 +120,9 @@ def test_crypt_object_roundtrip_property(payload, num, gen, cfg):
         r = int(cfg.split("-")[1])
         o, oe, u, ue, _ = make_encrypt_params_v5(r)
         enc = {"Filter": "Standard", "V": 5, "R": r, "Length": 256,
-               "O": o, "OE": oe, "U": u, "UE": ue, "P": -44}
+               "O": o, "OE": oe, "U": u, "UE": ue, "P": -44,
+               "CF": {"StdCF": {"CFM": "AESV3", "Length": 32}},
+               "StmF": "StdCF", "StrF": "StdCF"}
         h = StandardSecurityHandler(enc, b"")
     ct = h.encrypt_bytes(num, gen, payload)
     assert h.decrypt(num, gen, ct) == payload
