@@ -235,3 +235,65 @@ def test_reference_table_gap_documented(refmod):
     s27 = sum(mt.MACRS_27_5YR_MM[y][6] for y in mt.MACRS_27_5YR_MM)
     assert abs(s39 - 99.893) < 0.01
     assert abs(s27 - 101.657) < 0.01
+
+
+def test_sql_text_twins_exactly_match_column_builders(spark):
+    """Round-5: with_481a_capex stages its folds/lookups as SQL TEXT
+    (one py4j round trip each — DataFrame construction was 9-17 s of
+    the cold start).  Every text builder must produce bit-identical
+    doubles to its Column twin, pool folds included."""
+    rows = [
+        (i, [(1000.0 + i * 37.3,
+              datetime.date(2015 + (i * 3) % 12, 1 + (i * 5) % 12, 1 + (i * 7) % 28),
+              c, (None if i % 3 else 80.0))
+             for c in ["QIP", "5_year", "7_year", "15_year", "27_5_year",
+                       "39_year", "junk"][: 1 + i % 7]])
+        for i in range(40)
+    ]
+    sdf = spark.createDataFrame(
+        rows,
+        "id long, capex_items array<struct<amount:double,pis_date:date,"
+        "classification:string,bonus_override:double>>",
+    ).select(
+        "*",
+        (F.col("id") % 10 + 2015).cast("int").alias("acq_year"),
+        (F.col("id") % 7).cast("int").alias("years_elapsed"),
+        (F.col("id") % 4 * 20.0).alias("bonus_rate"),
+        (F.col("id") * 991.7).alias("amt_5yr"),
+        (F.col("id") * 313.1).alias("amt_7yr"),
+        (F.col("id") * 77.3).alias("amt_15yr"),
+        (F.col("id") * 5011.9).alias("amt_bldg"),
+        (F.col("id") * 6393.0).alias("total_depreciable"),
+        F.when(F.col("id") % 5 == 0, "27.5yr").when(F.col("id") % 5 == 1, "39yr")
+        .when(F.col("id") % 5 == 2, "30yr").when(F.col("id") % 5 == 3, "40yr")
+        .otherwise("junk").alias("building_class"),
+        (F.col("id") % 12 + 1).cast("int").alias("pis_month"),
+    )
+    ye = F.col("years_elapsed")
+    bonus = F.col("bonus_rate")
+    acc = dep.accumulated_cols(ye, bonus)
+    cur = dep.year_depreciation_cols(ye + 1, bonus)
+    y1 = dep.year_depreciation_cols(F.lit(1), bonus)
+    pairs = [
+        (dep.capex_total(F.col("capex_items"),
+                         F.col("acq_year") + ye - 1, accumulated=True),
+         dep.capex_total_sql("capex_items", "(acq_year + years_elapsed - 1)",
+                             accumulated=True)),
+        (dep.capex_total(F.col("capex_items"),
+                         F.col("acq_year") + ye, accumulated=False),
+         dep.capex_total_sql("capex_items", "(acq_year + years_elapsed)",
+                             accumulated=False)),
+        (acc["acc_5yr"] + acc["acc_7yr"] + acc["acc_15yr"] + acc["acc_bldg"],
+         dep._sql_class_sum(dep._sql_short_acc_dep, "years_elapsed")),
+        (dep.standard_depreciation(ye), dep._sql_standard_dep("years_elapsed")),
+        (cur["dep_5yr"] + cur["dep_7yr"] + cur["dep_15yr"] + cur["dep_bldg"],
+         dep._sql_class_sum(dep._sql_short_year_dep, "(years_elapsed + 1)")),
+        (y1["dep_5yr"] + y1["dep_7yr"] + y1["dep_15yr"] + y1["dep_bldg"],
+         dep._sql_class_sum(dep._sql_short_year_dep, "1")),
+    ]
+    sel = []
+    for j, (col_form, sql_text) in enumerate(pairs):
+        sel += [col_form.alias(f"c{j}"), F.expr(sql_text).alias(f"s{j}")]
+    for r in sdf.select(*sel).collect():
+        for j in range(len(pairs)):
+            assert r[f"c{j}"] == r[f"s{j}"], (j, dict(r.asDict()))
