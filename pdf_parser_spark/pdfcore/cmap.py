@@ -193,8 +193,11 @@ class FontDecoder:
     """Decodes show-string bytes for one font resource.
 
     Priority (matching pdf.js text-extraction behavior): ToUnicode CMap
-    if present, else /Encoding /Differences over a base encoding, else
-    the base/Standard encoding byte table.
+    if present; else — for a font with no /Encoding whose embedded font
+    program yields a usable charcode→unicode map (symbolic TrueType
+    cmap+post, Type1 built-in /Encoding; see ``fontprog``) — that
+    embedded map; else /Encoding /Differences over a base encoding,
+    else the base/Standard encoding byte table.
     """
 
     def __init__(
@@ -202,8 +205,10 @@ class FontDecoder:
         tounicode: Optional[ToUnicodeCMap] = None,
         base_encoding: Optional[str] = None,
         differences: Optional[Dict[int, str]] = None,
+        embedded: Optional[Dict[int, str]] = None,
     ):
         self.tounicode = tounicode
+        self.embedded = embedded
         table = dict(BASE_ENCODINGS.get(base_encoding or "StandardEncoding", _STANDARD))
         if differences:
             table.update(differences)
@@ -212,6 +217,10 @@ class FontDecoder:
     def decode(self, raw: bytes) -> str:
         if self.tounicode is not None:
             return self.tounicode.decode(raw)
+        if self.embedded is not None:
+            # symbolic fonts must not fall back to StandardEncoding —
+            # an unmapped code is unknown, not "probably ASCII"
+            return "".join(self.embedded.get(b, "�") for b in raw)
         return "".join(self.table.get(b, "�") for b in raw)
 
 

@@ -133,8 +133,38 @@ def _build_fonts(store: ObjectStore, resources) -> Dict[str, FontDecoder]:
             diff = store.resolve(enc.get("Differences"))
             if isinstance(diff, list):
                 differences = parse_differences(diff)
-        fonts[str(fname)] = FontDecoder(tounicode, base_enc, differences)
+        embedded = None
+        if tounicode is None and enc is None:
+            # no /ToUnicode and no /Encoding: the font program itself is
+            # the only source of glyph→unicode (symbolic TrueType cmap +
+            # post names, Type1 built-in /Encoding) — the pdf.js-parity
+            # path for embedded fonts. Parse failures degrade to the
+            # standard table, never to a document error.
+            embedded = _embedded_font_map(store, fd)
+        fonts[str(fname)] = FontDecoder(tounicode, base_enc, differences, embedded)
     return fonts
+
+
+def _embedded_font_map(store: ObjectStore, font_dict: dict):
+    from .fontprog import truetype_tounicode, type1_builtin_encoding
+
+    desc = store.resolve(font_dict.get("FontDescriptor"))
+    if not isinstance(desc, dict):
+        return None
+    for key, parser in (
+        ("FontFile2", truetype_tounicode),   # TrueType sfnt
+        ("FontFile", type1_builtin_encoding),  # Type1 cleartext header
+    ):
+        ff = store.resolve(desc.get(key))
+        if isinstance(ff, StreamObj):
+            try:
+                prog = decode_stream(ff, store.resolve)
+            except (FilterError, LexError, PdfError):
+                continue
+            got = parser(prog)
+            if got:
+                return got
+    return None
 
 
 def _page_content_bytes(store: ObjectStore, page: dict) -> bytes:

@@ -1,0 +1,281 @@
+"""Embedded font programs → charcode-to-Unicode maps (round-5).
+
+The last real-world text-extraction gap vs pdf.js's observable
+contract (the reference consumes its vendored font stack at
+``src/services/pdfParser/index.ts:23-37``): a symbolic TrueType or
+Type1 font with NO /ToUnicode and NO /Differences still decodes,
+because the unicode comes from the font program itself —
+
+- **TrueType** (``/FontFile2``): the ``cmap`` table (subtable formats
+  0, 4 and 6; public OpenType/TrueType spec) maps charcodes to glyph
+  ids, and the ``post`` table (format 2.0) names each glyph; glyph
+  names resolve through the Adobe Glyph List conventions
+  (:data:`..cmap.GLYPH_NAMES` + ``uniXXXX``).  For Unicode-typed
+  subtables ((3,1) Windows BMP or platform 0) an unnamed glyph falls
+  back to ``chr(charcode)`` — the code IS the unicode there.  Symbol
+  subtables ((3,0)) get the pdf.js ``0xF000 | code`` alias.
+- **Type1** (``/FontFile``): the cleartext header's ``/Encoding``
+  vector (``dup <code> /<name> put`` entries, or the literal
+  ``StandardEncoding``) is parsed without touching the eexec-encrypted
+  body — charstrings are irrelevant for text extraction.
+
+Every parse failure degrades to ``None`` (caller falls back to the
+standard-encoding table): a malformed embedded font must never turn a
+document into a task failure.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+from typing import Dict, Optional
+
+from .cmap import BASE_ENCODINGS, GLYPH_NAMES
+
+
+def glyph_name_to_unicode(name: str) -> Optional[str]:
+    """AGL-convention resolution: known name, uniXXXX, uXXXX[XX]."""
+    got = GLYPH_NAMES.get(name)
+    if got is not None:
+        return got
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    return None
+
+
+# ----------------------------------------------------------------------
+# TrueType (sfnt) — cmap + post
+# ----------------------------------------------------------------------
+def _mac_glyph_unicode(idx: int) -> Optional[str]:
+    """Standard Macintosh glyph order (post format 2.0 indices < 258).
+
+    The load-bearing ASCII block is indices 3..97 = codepoints 32..126
+    in order (index = codepoint - 29); 0-2 are the fixed control
+    glyphs (.notdef/.null/nonmarkingreturn → no text).  Indices
+    98..257 are the Mac extended set — left unresolved (a glyph that
+    needs one decodes as unknown, never wrongly); crawl text is
+    overwhelmingly covered by the ASCII block + custom names."""
+    if 3 <= idx <= 97:
+        return chr(idx + 29)
+    return None
+
+
+def _parse_cmap_subtable(data: bytes, off: int) -> Optional[Dict[int, int]]:
+    """code → glyph id for subtable formats 0 / 4 / 6."""
+    if off + 2 > len(data):
+        return None
+    (fmt,) = struct.unpack_from(">H", data, off)
+    if fmt == 0:
+        if off + 6 + 256 > len(data):
+            return None
+        gids = data[off + 6 : off + 6 + 256]
+        return {c: gids[c] for c in range(256) if gids[c]}
+    if fmt == 6:
+        if off + 10 > len(data):
+            return None
+        first, count = struct.unpack_from(">HH", data, off + 6)
+        if off + 10 + 2 * count > len(data):
+            return None
+        out = {}
+        for k in range(count):
+            (gid,) = struct.unpack_from(">H", data, off + 10 + 2 * k)
+            if gid:
+                out[first + k] = gid
+        return out
+    if fmt == 4:
+        if off + 14 > len(data):
+            return None
+        seg_x2 = struct.unpack_from(">H", data, off + 6)[0]
+        segs = seg_x2 // 2
+        p = off + 14
+        need = p + seg_x2 * 4 + 2
+        if segs == 0 or need > len(data):
+            return None
+        end = struct.unpack_from(f">{segs}H", data, p)
+        start = struct.unpack_from(f">{segs}H", data, p + seg_x2 + 2)
+        delta = struct.unpack_from(f">{segs}h", data, p + 2 * seg_x2 + 2)
+        range_off_pos = p + 3 * seg_x2 + 2
+        range_off = struct.unpack_from(f">{segs}H", data, range_off_pos)
+        out = {}
+        for i in range(segs):
+            if start[i] > end[i] or end[i] == 0xFFFF and start[i] == 0xFFFF:
+                continue
+            for c in range(start[i], min(end[i], 0xFFFE) + 1):
+                if range_off[i] == 0:
+                    gid = (c + delta[i]) & 0xFFFF
+                else:
+                    # "address trick": glyph id lives at
+                    # idRangeOffset[i]'s own position + idRangeOffset[i]
+                    # + 2*(c - startCode[i])
+                    addr = range_off_pos + 2 * i + range_off[i] + 2 * (c - start[i])
+                    if addr + 2 > len(data):
+                        continue
+                    (gid,) = struct.unpack_from(">H", data, addr)
+                    if gid:
+                        gid = (gid + delta[i]) & 0xFFFF
+                if gid:
+                    out[c] = gid
+        return out
+    return None  # formats 2/8/10/12/13/14 not needed for byte codes
+
+
+def _parse_post_names(data: bytes, off: int, length: int) -> Optional[Dict[int, str]]:
+    """glyph id → name from a format-2.0 ``post`` table."""
+    if off + 34 > len(data):
+        return None
+    (version,) = struct.unpack_from(">I", data, off)
+    if version != 0x00020000:
+        return None
+    (num,) = struct.unpack_from(">H", data, off + 32)
+    idx_end = off + 34 + 2 * num
+    if idx_end > len(data) or idx_end > off + length:
+        return None
+    indices = struct.unpack_from(f">{num}H", data, off + 34)
+    # Pascal-string pool for custom names (index - 258)
+    pool = []
+    p = idx_end
+    limit = min(len(data), off + length)
+    while p < limit:
+        n = data[p]
+        if p + 1 + n > limit:
+            break
+        pool.append(data[p + 1 : p + 1 + n].decode("latin-1"))
+        p += 1 + n
+    out: Dict[int, str] = {}
+    for gid, idx in enumerate(indices):
+        if idx >= 258:
+            k = idx - 258
+            if k < len(pool):
+                out[gid] = pool[k]
+        else:
+            uni = _mac_glyph_unicode(idx)
+            if uni is not None:
+                # store as the resolved char's AGL-convention name so
+                # one downstream resolution path serves both cases
+                out[gid] = f"uni{ord(uni):04X}"
+    return out
+
+
+def truetype_tounicode(data: bytes) -> Optional[Dict[int, str]]:
+    """charcode → unicode string from an sfnt's cmap (+ post names).
+
+    Subtable preference mirrors pdf.js: (3,1) Windows Unicode BMP,
+    then platform 0 (Unicode), then (3,0) symbol, then (1,0) Mac.
+    Returns None when no usable subtable parses.
+    """
+    try:
+        if len(data) < 12:
+            return None
+        tag = data[:4]
+        if tag not in (b"\x00\x01\x00\x00", b"true", b"ttcf", b"OTTO"):
+            return None
+        if tag == b"ttcf":  # TrueType collection: first font
+            if len(data) < 16:
+                return None
+            (first_off,) = struct.unpack_from(">I", data, 12)
+            return truetype_tounicode(data[first_off:]) if first_off else None
+        (num_tables,) = struct.unpack_from(">H", data, 4)
+        tables = {}
+        for i in range(num_tables):
+            rec = 12 + 16 * i
+            if rec + 16 > len(data):
+                break
+            t = data[rec : rec + 4]
+            t_off, t_len = struct.unpack_from(">II", data, rec + 8)
+            tables[t] = (t_off, t_len)
+        if b"cmap" not in tables:
+            return None
+        c_off, _c_len = tables[b"cmap"]
+        if c_off + 4 > len(data):
+            return None
+        (n_sub,) = struct.unpack_from(">H", data, c_off + 2)
+        subs = {}  # (platform, encoding) -> absolute offset
+        for i in range(n_sub):
+            rec = c_off + 4 + 8 * i
+            if rec + 8 > len(data):
+                break
+            plat, enc, s_off = struct.unpack_from(">HHI", data, rec)
+            subs.setdefault((plat, enc), c_off + s_off)
+        chosen = None
+        unicode_typed = False
+        symbol = False
+        for key in ((3, 1), (0, 0), (0, 1), (0, 2), (0, 3), (0, 4), (3, 0), (1, 0)):
+            if key in subs:
+                chosen = subs[key]
+                unicode_typed = key[0] == 0 or key == (3, 1)
+                symbol = key == (3, 0)
+                break
+        if chosen is None:
+            return None
+        code_to_gid = _parse_cmap_subtable(data, chosen)
+        if not code_to_gid:
+            return None
+        names: Dict[int, str] = {}
+        if b"post" in tables:
+            p_off, p_len = tables[b"post"]
+            names = _parse_post_names(data, p_off, p_len) or {}
+        out: Dict[int, str] = {}
+        for code, gid in code_to_gid.items():
+            uni = None
+            name = names.get(gid)
+            if name:
+                uni = glyph_name_to_unicode(name)
+            if uni is None and unicode_typed:
+                uni = chr(code)
+            if uni is not None:
+                out[code] = uni
+        if symbol:
+            # pdf.js tries 0xF000 | code for byte codes in symbol fonts
+            for code in list(out):
+                low = code & 0xFF
+                if code & 0xFF00 == 0xF000 and low not in out:
+                    out[low] = out[code]
+        return out or None
+    except (struct.error, ValueError, OverflowError):
+        return None
+
+
+# ----------------------------------------------------------------------
+# Type1 — /Encoding vector in the cleartext header
+# ----------------------------------------------------------------------
+_T1_DUP = re.compile(rb"dup\s+(\d{1,3})\s*/([^\s/{}()\[\]<>]+)\s+put")
+
+
+def type1_builtin_encoding(data: bytes) -> Optional[Dict[int, str]]:
+    """charcode → unicode from a Type1 font program's /Encoding.
+
+    Only the cleartext section (before ``eexec``) is inspected.
+    ``/Encoding StandardEncoding def`` yields the standard table;
+    custom vectors collect every ``dup <code> /<name> put``.
+    """
+    try:
+        head = data.split(b"eexec", 1)[0]
+        enc_at = head.find(b"/Encoding")
+        if enc_at < 0:
+            return None
+        section = head[enc_at : enc_at + 65536]
+        if re.match(rb"/Encoding\s+StandardEncoding\s+def", section):
+            return dict(BASE_ENCODINGS["StandardEncoding"])
+        stop = section.find(b" def")
+        if stop > 0:
+            section = section[: stop + 4]
+        out: Dict[int, str] = {}
+        for m in _T1_DUP.finditer(section):
+            code = int(m.group(1))
+            if code > 255:
+                continue
+            name = m.group(2).decode("latin-1")
+            uni = glyph_name_to_unicode(name)
+            if uni is not None:
+                out[code] = uni
+        return out or None
+    except (ValueError, UnicodeDecodeError):
+        return None

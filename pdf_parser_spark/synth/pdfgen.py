@@ -50,6 +50,19 @@ def f2_encode(s: str) -> bytes:
     return bytes(out)
 
 
+def _enc_for(font: str):
+    """Per-font show-string encoder: F1 = WinAnsi bytes, F2 = the
+    ToUnicode demo code space, F3/F4 = the embedded-font private code
+    permutations (see fontgen)."""
+    if font == "F1":
+        return lambda s: s.encode("cp1252")
+    if font in ("F3", "F4"):
+        from .fontgen import f3_encode, f4_encode
+
+        return f3_encode if font == "F3" else f4_encode
+    return f2_encode
+
+
 def _esc_literal(data: bytes) -> bytes:
     return (
         data.replace(b"\\", b"\\\\")
@@ -76,7 +89,7 @@ class PageBuilder:
 
     # -- simple visible text -------------------------------------------
     def text(self, x: float, y: float, s: str, font: str = "F1", size: float = 12):
-        raw = _esc_literal(s.encode("cp1252")) if font == "F1" else _esc_literal(f2_encode(s))
+        raw = _esc_literal(_enc_for(font)(s))
         self.ops.append(
             f"BT /{font} {_fmt_num(size)} Tf {_fmt_num(x)} {_fmt_num(y)} Td ".encode()
             + b"(" + raw + b") Tj ET"
@@ -88,9 +101,8 @@ class PageBuilder:
         font: str = "F1", size: float = 12, style: str = "TD",
     ):
         """Multi-line text using TD / T* / ' — one item per line."""
-        enc = (lambda s: _esc_literal(s.encode("cp1252"))) if font == "F1" else (
-            lambda s: _esc_literal(f2_encode(s))
-        )
+        _e = _enc_for(font)
+        enc = lambda s: _esc_literal(_e(s))
         parts = [f"BT /{font} {_fmt_num(size)} Tf {_fmt_num(x)} {_fmt_num(y)} Td".encode()]
         for i, line in enumerate(lines):
             raw = enc(line)
@@ -109,7 +121,7 @@ class PageBuilder:
 
     def tj(self, x: float, y: float, elems: Sequence[TJElem], font: str = "F1", size: float = 12):
         """A TJ array with kerning numbers; golden per the frozen contract."""
-        enc = (lambda s: s.encode("cp1252")) if font == "F1" else f2_encode
+        enc = _enc_for(font)
         arr = bytearray(b"[")
         golden: List[str] = []
         for el in elems:
@@ -129,7 +141,7 @@ class PageBuilder:
 
     def white_text(self, s: str, x: float = 10, y: float = 5, font: str = "F1"):
         """Invisible metadata run: text matrix with a == 0."""
-        raw = _esc_literal(s.encode("cp1252")) if font == "F1" else _esc_literal(f2_encode(s))
+        raw = _esc_literal(_enc_for(font)(s))
         self.ops.append(
             f"BT /{font} 8 Tf 0 0 0 1 {_fmt_num(x)} {_fmt_num(y)} Tm ".encode()
             + b"(" + raw + b") Tj ET"
@@ -151,11 +163,18 @@ class PdfBuilder:
     """Assembles objects into a full PDF file."""
 
     def __init__(self, compress: bool = False, xref_stream: bool = False,
-                 encrypt_rc4: Optional[dict] = None, objstm: bool = False):
+                 encrypt_rc4: Optional[dict] = None, objstm: bool = False,
+                 embedded_fonts: Optional[dict] = None):
         if objstm and not xref_stream:
             raise ValueError("objstm requires xref_stream (type-2 entries)")
         self.compress = compress
         self.xref_stream = xref_stream
+        # embedded_fonts: e.g. {"tt_style": "mac0", "tt_std_names": True}
+        # adds F3 (embedded TrueType, /FontFile2, NO /ToUnicode, NO
+        # /Encoding) and F4 (embedded Type1, /FontFile with a custom
+        # built-in /Encoding) to every page's resources — the round-5
+        # symbolic-font fixtures
+        self.embedded_fonts = embedded_fonts
         # objstm: pack every non-stream object into ONE /Type /ObjStm
         # (the modern-PDF default layout; with encryption the container
         # stream is encrypted and its members stay plaintext, per spec)
@@ -220,10 +239,48 @@ end""".encode()
         )
         return f1, f2
 
+    def _embedded_font_objects(self) -> Tuple[int, int]:
+        """F3 (TrueType /FontFile2) and F4 (Type1 /FontFile): real font
+        programs, no /ToUnicode, no /Encoding — glyph→unicode must come
+        from the font program itself (parser's fontprog path)."""
+        from .fontgen import build_truetype_font, build_type1_font
+
+        cfg = self.embedded_fonts or {}
+        tt = build_truetype_font(
+            style=cfg.get("tt_style", "mac0"),
+            use_std_names=bool(cfg.get("tt_std_names", True)),
+        )
+        ff2 = self._add_stream("", tt)
+        d3 = self._add(
+            f"<< /Type /FontDescriptor /FontName /SynthTT /Flags 4 "
+            f"/ItalicAngle 0 /Ascent 800 /Descent -200 /CapHeight 700 "
+            f"/StemV 80 /FontBBox [0 -200 1000 800] /FontFile2 {ff2} 0 R >>".encode()
+        )
+        f3 = self._add(
+            f"<< /Type /Font /Subtype /TrueType /BaseFont /SynthTT "
+            f"/FontDescriptor {d3} 0 R >>".encode()
+        )
+        t1, l1, l2, l3 = build_type1_font()
+        ff = self._add_stream(f"/Length1 {l1} /Length2 {l2} /Length3 {l3}", t1)
+        d4 = self._add(
+            f"<< /Type /FontDescriptor /FontName /SynthT1 /Flags 4 "
+            f"/ItalicAngle 0 /Ascent 800 /Descent -200 /CapHeight 700 "
+            f"/StemV 80 /FontBBox [0 -200 1000 800] /FontFile {ff} 0 R >>".encode()
+        )
+        f4 = self._add(
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /SynthT1 "
+            f"/FontDescriptor {d4} 0 R >>".encode()
+        )
+        return f3, f4
+
     def build(self) -> bytes:
         if not self.pages:
             raise ValueError("no pages")
         f1, f2 = self._font_objects()
+        extra_fonts = ""
+        if self.embedded_fonts is not None:
+            f3, f4 = self._embedded_font_objects()
+            extra_fonts = f" /F3 {f3} 0 R /F4 {f4} 0 R"
         content_ids = [self._add_stream("", pb.content()) for pb in self.pages]
         n_pages = len(self.pages)
         # reserve ids: pages-tree node, page nodes, catalog
@@ -233,7 +290,7 @@ end""".encode()
         for cid in content_ids:
             pid = self._add(
                 f"<< /Type /Page /Parent {pages_id} 0 R /MediaBox [0 0 612 792] "
-                f"/Resources << /Font << /F1 {f1} 0 R /F2 {f2} 0 R >> >> "
+                f"/Resources << /Font << /F1 {f1} 0 R /F2 {f2} 0 R{extra_fonts} >> >> "
                 f"/Contents {cid} 0 R >>".encode()
             )
             page_ids.append(pid)
@@ -466,13 +523,23 @@ def make_quote_pdf(i: int) -> Tuple[bytes, str, str]:
 
     Structural variant cycles through: uncompressed / flate / xref-stream /
     multi-page-with-metadata-on-page-2 / ToUnicode-font body /
-    object-stream (ObjStm) layout.
+    object-stream (ObjStm) layout / embedded-TrueType body (cmap
+    format rotating 0→4-symbol→6, post names standard and custom) /
+    embedded-Type1 body (built-in /Encoding) — the last two carry NO
+    /ToUnicode, so their text decodes only through the font program.
     """
-    variant = i % 6
+    variant = i % 8
+    embedded = None
+    if variant in (6, 7):
+        embedded = {
+            "tt_style": ("mac0", "sym4", "fmt6")[(i // 8) % 3],
+            "tt_std_names": bool((i // 8) % 2),
+        }
     b = PdfBuilder(
-        compress=variant in (1, 3, 5),
-        xref_stream=variant in (2, 5),
+        compress=variant in (1, 3, 5, 7),
+        xref_stream=variant in (2, 5, 6),
         objstm=variant == 5,
+        embedded_fonts=embedded,
     )
     meta = quote_metadata_string(i)
 
@@ -486,6 +553,10 @@ def make_quote_pdf(i: int) -> Tuple[bytes, str, str]:
     p1.tj(72, 640, ["Quote", -250, "Summary", -40, ":", -250, f"#{i}"])
     if variant == 4:
         p1.text(72, 610, f"Euro € and ﬁne ligature {i}", font="F2")
+    elif variant == 6:
+        p1.text(72, 610, f"Embedded TrueType € run #{i}", font="F3")
+    elif variant == 7:
+        p1.text(72, 610, f"Embedded Type1 € run #{i}", font="F4")
 
     whitetext_page = 0
     if variant == 3:  # metadata on page 2 of 3

@@ -137,11 +137,13 @@ def test_lzw_simple():
 # ----------------------------------------------------------------------
 # full documents
 # ----------------------------------------------------------------------
-@pytest.mark.parametrize("i", list(range(10)))
+@pytest.mark.parametrize("i", list(range(16)) + [22, 23, 30, 31, 38, 39, 46, 47])
 def test_quote_pdf_byte_identical_text(i):
+    # 16..47 extras hit every embedded-font combo: variants 6/7 at all
+    # three TrueType cmap styles x both post-name styles
     blob, golden_text, golden_white = make_quote_pdf(i)
     doc = parse_pdf(blob)
-    assert doc.text() == golden_text, f"variant {i % 5} text mismatch"
+    assert doc.text() == golden_text, f"variant {i % 8} text mismatch"
 
 
 @pytest.mark.parametrize("i", [0, 1, 2, 3, 4, 8, 13])
@@ -468,3 +470,96 @@ def test_v5_non_aesv3_crypt_filter_raises_typed():
     with pytest.raises(CryptError) as ei2:
         StandardSecurityHandler(enc2, b"\x01" * 16)
     assert ei2.value.code == "cf"
+
+
+# ----------------------------------------------------------------------
+# embedded font programs (round-5: fontprog.py)
+# ----------------------------------------------------------------------
+def test_truetype_cmap_format4_idrangeoffset_path():
+    """Hand-built format-4 subtable exercising the glyphIdArray
+    'address trick' (idRangeOffset != 0) our synth encoder never emits:
+    segment A..C with gids [5, 9, 7] via the indirection array."""
+    import struct
+
+    from pdf_parser_spark.pdfcore.fontprog import _parse_cmap_subtable
+
+    # segs: [0x41..0x43 via glyphIdArray], [0xFFFF sentinel]
+    segs = 2
+    hdr = struct.pack(">HHHHHHH", 4, 0, 0, segs * 2, 4, 1, 0)
+    ends = struct.pack(">2H", 0x43, 0xFFFF)
+    starts = struct.pack(">2H", 0x41, 0xFFFF)
+    deltas = struct.pack(">2h", 0, 1)
+    # idRangeOffset[0] sits at offset (14 + 2*2 + 2 + 2*2 + 2*2) = 26
+    # glyphIdArray starts right after idRangeOffset[] at 26 + 4 = 30;
+    # offset from &idRangeOffset[0] to glyphIdArray = 4
+    range_offs = struct.pack(">2H", 4, 0)
+    gid_array = struct.pack(">3H", 5, 9, 7)
+    sub = hdr + ends + b"\x00\x00" + starts + deltas + range_offs + gid_array
+    got = _parse_cmap_subtable(sub, 0)
+    assert got == {0x41: 5, 0x42: 9, 0x43: 7}
+
+
+def test_truetype_symbol_cmap_f000_alias():
+    from pdf_parser_spark.pdfcore.fontprog import truetype_tounicode
+    from pdf_parser_spark.synth.fontgen import F3_CODE, build_truetype_font
+
+    tt = build_truetype_font(style="sym4", use_std_names=False)
+    m = truetype_tounicode(tt)
+    # (3,0) symbol cmap keys at 0xF000|code; byte-code alias must exist
+    assert m[F3_CODE["A"]] == "A"
+    assert m[0xF000 | F3_CODE["A"]] == "A"
+    assert m[F3_CODE["€"]] == "€"
+
+
+def test_truetype_std_post_names_resolve():
+    from pdf_parser_spark.pdfcore.fontprog import truetype_tounicode
+    from pdf_parser_spark.synth.fontgen import F3_CODE, build_truetype_font
+
+    for style in ("mac0", "fmt6"):
+        m = truetype_tounicode(build_truetype_font(style=style, use_std_names=True))
+        for ch in "Hello, World! 42":
+            assert m[F3_CODE[ch]] == ch, (style, ch)
+
+
+def test_type1_standard_encoding_form():
+    from pdf_parser_spark.pdfcore.fontprog import type1_builtin_encoding
+
+    prog = (b"%!PS-AdobeFont-1.0: X 001\n/FontName /X def\n"
+            b"/Encoding StandardEncoding def\ncurrentdict end\n"
+            b"currentfile eexec\n\x12\x34junk")
+    m = type1_builtin_encoding(prog)
+    assert m[ord("A")] == "A" and m[0x27] == "’"  # quoteright quirk
+
+
+def test_corrupt_embedded_font_degrades_to_standard():
+    """A truncated FontFile2 must fall back to the standard table (the
+    F3 body text then decodes wrongly but the DOCUMENT still parses —
+    no crash, no typed error)."""
+    from pdf_parser_spark.synth.pdfgen import PdfBuilder
+
+    b = PdfBuilder(embedded_fonts={"tt_style": "mac0"})
+    pg = b.new_page()
+    pg.text(72, 700, "Visible F1 line")
+    pg.text(72, 680, "Hello", font="F3")
+    blob = b.build()
+    # truncate the sfnt inside the FontFile2 stream: clobber its tag
+    bad = blob.replace(b"\x00\x01\x00\x00", b"\x00\x09\x00\x00", 1)
+    assert bad != blob
+    doc = parse_pdf(bad)
+    lines = doc.pages[0].text().split("\n")
+    assert lines[0] == "Visible F1 line"
+    assert lines[1] != "Hello"  # private codes + standard table = garbage
+
+
+def test_embedded_fonts_inside_encrypted_pdf():
+    """FontFile streams are encrypted like any other stream; the
+    embedded-font text must still decode byte-identical after RC4/AES
+    decryption."""
+    for enc in ({"r": 3, "length": 128}, {"mode": "aesv3", "r": 6}):
+        b = PdfBuilder(encrypt_rc4=enc,
+                       embedded_fonts={"tt_style": "sym4", "tt_std_names": False})
+        pg = b.new_page()
+        pg.text(72, 700, "Crypt # TT", font="F3")
+        pg.text(72, 680, "Crypt # T1", font="F4")
+        doc = parse_pdf(b.build(), decrypt=True)
+        assert doc.pages[0].text() == "Crypt # TT\nCrypt # T1", enc
