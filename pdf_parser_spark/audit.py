@@ -155,6 +155,7 @@ def run_extraction_with_audit(
     n_buckets: int = 8,
     mode: str = "first_valid",
     decrypt: bool = False,
+    password: bytes = b"",
     buckets: Optional[List[int]] = None,
     recovery: bool = False,
 ) -> dict:
@@ -195,6 +196,7 @@ def run_extraction_with_audit(
             ext = extract_documents(
                 part.select("url", "warc_ts", "html", "text", "lang"), mode=mode,
                 decrypt=decrypt,
+                password=password,
             )
             # 1) data commit (idempotent per-bucket overwrite)
             ext.write.mode("overwrite").parquet(os.path.join(data_path, f"bucket={b}"))
@@ -215,6 +217,7 @@ def run_extraction_with_audit(
     ext = extract_documents(
         pending.select("url", "warc_ts", "html", "text", "lang"), mode=mode,
         decrypt=decrypt,
+        password=password,
     ).withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

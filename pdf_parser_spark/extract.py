@@ -52,7 +52,7 @@ def sniff_doc_type(blob: Optional[bytes]) -> str:
 
 
 def _extract_one(blob: Optional[bytes], mode: str, want_text: bool = True,
-                 decrypt: bool = False) -> dict:
+                 decrypt: bool = False, password: bytes = b"") -> dict:
     """Extract a single document. Never raises.
 
     ``want_text=False`` skips assembling the heavy output fields
@@ -75,7 +75,7 @@ def _extract_one(blob: Optional[bytes], mode: str, want_text: bool = True,
     }
     if out["doc_type"] == "pdf":
         try:
-            doc = parse_pdf(blob, decrypt=decrypt)
+            doc = parse_pdf(blob, decrypt=decrypt, password=password)
         except PdfError as e:
             out["error_code"] = e.code
             out["error_message"] = str(e)[:500]
@@ -156,7 +156,8 @@ _META_COLS = [c for c in _OUT_COLS if c not in _HEAVY_COLS]
 META_SCHEMA = StructType([f for f in EXTRACT_SCHEMA.fields if f.name in _META_COLS])
 
 
-def _make_mapper(mode: str, want_text: bool = True, decrypt: bool = False):
+def _make_mapper(mode: str, want_text: bool = True, decrypt: bool = False,
+                 password: bytes = b""):
     out_cols = _OUT_COLS if want_text else _META_COLS
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -174,6 +175,7 @@ def _make_mapper(mode: str, want_text: bool = True, decrypt: bool = False):
                 rec = _extract_one(
                     bytes(blob) if blob is not None else None, mode, want_text,
                     decrypt=decrypt,
+                    password=password,
                 )
                 rec["url"] = url
                 rec["warc_ts"] = warc_ts
@@ -188,6 +190,7 @@ def _make_mapper(mode: str, want_text: bool = True, decrypt: bool = False):
 def extract_documents(
     pages: DataFrame, mode: str = "first_valid", output: str = "full",
     decrypt: bool = False,
+    password: bytes = b"",
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → EXTRACT_SCHEMA DataFrame.
 
@@ -208,11 +211,11 @@ def extract_documents(
     needed = pages.select("url", "warc_ts", "html", "lang")
     if output == "meta":
         return needed.mapInPandas(
-            _make_mapper(mode, want_text=False, decrypt=decrypt),
+            _make_mapper(mode, want_text=False, decrypt=decrypt, password=password),
             schema=META_SCHEMA,
         )
     return needed.mapInPandas(
-        _make_mapper(mode, decrypt=decrypt), schema=EXTRACT_SCHEMA
+        _make_mapper(mode, decrypt=decrypt, password=password), schema=EXTRACT_SCHEMA
     )
 
 

@@ -59,6 +59,12 @@ def main(argv=None) -> int:
         "default is the one-pass dynamic-partition-overwrite batch",
     )
     p.add_argument(
+        "--decrypt-password",
+        default="",
+        help="password for standard-security-handler PDFs (tried as user, "
+        "then owner; round-5). Implies nothing without --decrypt.",
+    )
+    p.add_argument(
         "--decrypt",
         action="store_true",
         help="open standard-security-handler PDFs (RC4/AESV2/AESV3, empty "
@@ -95,6 +101,7 @@ def main(argv=None) -> int:
             mode=args.mode,
             recovery=args.recovery,
             decrypt=args.decrypt,
+            password=args.decrypt_password.encode("latin-1"),
         )
         docs = result["metrics"]["docs"]
     wall = time.time() - t0

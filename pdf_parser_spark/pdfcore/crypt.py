@@ -106,7 +106,7 @@ class StandardSecurityHandler:
     Anything else (crypt filters per stream, Identity StmF mixed modes,
     non-empty passwords) raises a typed CryptError."""
 
-    def __init__(self, encrypt: dict, file_id0: bytes):
+    def __init__(self, encrypt: dict, file_id0: bytes, password: bytes = b""):
         filt = str(encrypt.get("Filter", ""))
         if filt != "Standard":
             raise CryptError("filter", f"unsupported security handler {filt!r}")
@@ -114,6 +114,9 @@ class StandardSecurityHandler:
         r = int(encrypt.get("R", 0))
         self.v, self.r = v, r
         self.id0 = file_id0
+        # caller-supplied password (round-5): tried as the USER password
+        # first, then as the OWNER password (Algorithm 7 / Algorithm 12)
+        self.password = password if isinstance(password, bytes) else str(password).encode("latin-1")
         self.p = int(encrypt.get("P", 0))
         self.encrypt_metadata = bool(encrypt.get("EncryptMetadata", True))
 
@@ -183,9 +186,39 @@ class StandardSecurityHandler:
         self.u = _as_bytes(encrypt.get("U"))
         if len(self.o) < 32 or len(self.u) < 32:
             raise CryptError("encrypt_dict", "/O and /U must be 32 bytes")
-        self.key = self._compute_key(b"")  # empty USER password
+        # try the supplied password as the USER password (Algorithms
+        # 4/5), then as the OWNER password (Algorithm 7: the RC4 key
+        # derived from it decrypts /O back into the padded user
+        # password).  Default b"" preserves the empty-password path.
+        self.key = self._compute_key(self.password)
+        if self._check_user_password():
+            return
+        upw = self._owner_to_user_password(self.password)
+        self.key = self._compute_key(upw)
         if not self._check_user_password():
-            raise CryptError("password", "document requires a non-empty user password")
+            raise CryptError(
+                "password",
+                "wrong password" if self.password
+                else "document requires a non-empty user password",
+            )
+
+    # Algorithm 3 steps a-d: the RC4 key derived from the OWNER password
+    def _owner_rc4_key(self, owner_password: bytes) -> bytes:
+        d = hashlib.md5((owner_password + _PAD)[:32]).digest()
+        if self.r >= 3:
+            for _ in range(50):
+                d = hashlib.md5(d[: self.n]).digest()
+        return d[: self.n]
+
+    # Algorithm 7: decrypt /O with the owner key → padded user password
+    def _owner_to_user_password(self, owner_password: bytes) -> bytes:
+        okey = self._owner_rc4_key(owner_password)
+        val = self.o[:32]
+        if self.r == 2:
+            return rc4(okey, val)
+        for i in range(19, -1, -1):
+            val = rc4(bytes(b ^ i for b in okey), val)
+        return val
 
     # Algorithm 2
     def _compute_key(self, password: bytes) -> bytes:
@@ -226,16 +259,34 @@ class StandardSecurityHandler:
         if len(u) < 48 or len(ue) < 32:
             raise CryptError("encrypt_dict", "/U must be 48 and /UE 32 bytes for V5")
         self.u, self.o = u[:48], _as_bytes(encrypt.get("O", b""))
+        # ISO 32000-2 truncates the UTF-8 password to 127 bytes
+        pw = self.password[:127]
         vsalt, ksalt = u[32:40], u[40:48]
-        if self.r == 6:
-            uhash = _hash_2b(b"", vsalt, b"")
-            inter = _hash_2b(b"", ksalt, b"")
-        else:  # R5 (deprecated Adobe extension): plain SHA-256
-            uhash = hashlib.sha256(b"" + vsalt).digest()
-            inter = hashlib.sha256(b"" + ksalt).digest()
-        if uhash != u[:32]:
-            raise CryptError("password", "document requires a non-empty user password")
-        self.key = cbc_decrypt_raw(inter, ue[:32])
+
+        def h(p: bytes, salt: bytes, udata: bytes) -> bytes:
+            if self.r == 6:
+                return _hash_2b(p, salt, udata)
+            # R5 (deprecated Adobe extension): plain SHA-256
+            return hashlib.sha256(p + salt + udata).digest()
+
+        # Algorithm 11: user password check
+        if h(pw, vsalt, b"") == u[:32]:
+            inter = h(pw, ksalt, b"")
+            self.key = cbc_decrypt_raw(inter, ue[:32])
+            return
+        # Algorithm 12: owner password check (hashes include /U[0:48])
+        oe = _as_bytes(encrypt.get("OE", b""))
+        if len(self.o) >= 48 and len(oe) >= 32:
+            ovs, oks = self.o[32:40], self.o[40:48]
+            if h(pw, ovs, self.u) == self.o[:32]:
+                inter = h(pw, oks, self.u)
+                self.key = cbc_decrypt_raw(inter, oe[:32])
+                return
+        raise CryptError(
+            "password",
+            "wrong password" if pw
+            else "document requires a non-empty user password",
+        )
 
     # §7.6.2 Algorithm 1: per-object key
     def object_key(self, num: int, gen: int) -> bytes:
@@ -280,23 +331,27 @@ class StandardSecurityHandler:
     encrypt = encrypt_bytes
 
 
-def build_handler(encrypt: dict, file_id) -> Optional[StandardSecurityHandler]:
+def build_handler(encrypt: dict, file_id, password: bytes = b"") -> Optional[StandardSecurityHandler]:
     """Encrypt dict + trailer /ID → handler (CryptError on anything
-    outside the supported RC4/empty-password envelope)."""
+    outside the supported envelope or when neither the user nor the
+    owner interpretation of ``password`` opens the document)."""
     id0 = b""
     if isinstance(file_id, list) and file_id:
         first = file_id[0]
         if isinstance(first, (bytes, str)):
             id0 = _as_bytes(first)
-    return StandardSecurityHandler(encrypt, id0)
+    return StandardSecurityHandler(encrypt, id0, password=password)
 
 
 # ----------------------------------------------------------------------
 # fixture synthesis (tests only — nothing here protects anything)
 # ----------------------------------------------------------------------
-def make_encrypt_params(r: int, length_bits: int, id0: bytes, p: int = -44):
-    """(O, U, file_key) for EMPTY owner+user passwords — used by the
-    test PDF generator to synthesize standard-handler documents.
+def make_encrypt_params(r: int, length_bits: int, id0: bytes, p: int = -44,
+                        user_pw: bytes = b"", owner_pw: Optional[bytes] = None):
+    """(O, U, file_key) for the given passwords (both default EMPTY) —
+    used by the test PDF generator to synthesize standard-handler
+    documents.  Per Algorithm 3, an absent owner password falls back to
+    the user password.
 
     O is Algorithm 3, U Algorithms 4/5, file_key Algorithm 2 — the same
     public ISO 32000-1 algorithms the decoder implements (a shared
@@ -304,19 +359,22 @@ def make_encrypt_params(r: int, length_bits: int, id0: bytes, p: int = -44):
     therefore also assert ciphertext != plaintext and byte-identical
     text vs generator goldens computed without this module)."""
     n = length_bits // 8
-    # Algorithm 3: /O from the (empty) owner password
-    d = hashlib.md5(_PAD).digest()
+    if owner_pw is None:
+        owner_pw = user_pw
+    # Algorithm 3: /O = RC4 chain (owner-derived key) over the PADDED
+    # USER password
+    d = hashlib.md5((owner_pw + _PAD)[:32]).digest()
     if r >= 3:
         for _ in range(50):
-            d = hashlib.md5(d).digest()
+            d = hashlib.md5(d[:n]).digest()
     okey = d[:n]
-    o = rc4(okey, _PAD)
+    o = rc4(okey, (user_pw + _PAD)[:32])
     if r >= 3:
         for i in range(1, 20):
             o = rc4(bytes(b ^ i for b in okey), o)
-    # Algorithm 2: file key from the (empty) user password + /O + /P + ID
+    # Algorithm 2: file key from the user password + /O + /P + ID
     md = hashlib.md5()
-    md.update(_PAD)
+    md.update((user_pw + _PAD)[:32])
     md.update(o)
     md.update(struct.pack("<i", p))
     md.update(id0)
@@ -336,29 +394,29 @@ def make_encrypt_params(r: int, length_bits: int, id0: bytes, p: int = -44):
     return o, u, key
 
 
-def make_encrypt_params_v5(r: int = 6):
-    """(O, OE, U, UE, file_key) for EMPTY passwords, V5 AESV3
-    (ISO 32000-2 §7.6.4.4.6 Algorithm 8/9 with deterministic salts —
-    fixture synthesis only)."""
+def make_encrypt_params_v5(r: int = 6, user_pw: bytes = b"", owner_pw: bytes = b""):
+    """(O, OE, U, UE, file_key) for the given passwords (default EMPTY),
+    V5 AESV3 (ISO 32000-2 §7.6.4.4.6 Algorithm 8/9 with deterministic
+    salts — fixture synthesis only)."""
     from .aes import cbc_encrypt_raw
 
     file_key = hashlib.sha256(b"pdfgen-aes256-file-key").digest()
     vsalt, ksalt = b"VSALT_u1", b"KSALT_u1"
     if r == 6:
-        uhash = _hash_2b(b"", vsalt, b"")
-        inter_u = _hash_2b(b"", ksalt, b"")
+        uhash = _hash_2b(user_pw, vsalt, b"")
+        inter_u = _hash_2b(user_pw, ksalt, b"")
     else:
-        uhash = hashlib.sha256(b"" + vsalt).digest()
-        inter_u = hashlib.sha256(b"" + ksalt).digest()
+        uhash = hashlib.sha256(user_pw + vsalt).digest()
+        inter_u = hashlib.sha256(user_pw + ksalt).digest()
     u = uhash + vsalt + ksalt
     ue = cbc_encrypt_raw(inter_u, file_key)
     ovs, oks = b"OVSALTo1", b"OKSALTo1"
     if r == 6:
-        ohash = _hash_2b(b"", ovs, u)
-        inter_o = _hash_2b(b"", oks, u)
+        ohash = _hash_2b(owner_pw, ovs, u)
+        inter_o = _hash_2b(owner_pw, oks, u)
     else:
-        ohash = hashlib.sha256(b"" + ovs + u).digest()
-        inter_o = hashlib.sha256(b"" + oks + u).digest()
+        ohash = hashlib.sha256(owner_pw + ovs + u).digest()
+        inter_o = hashlib.sha256(owner_pw + oks + u).digest()
     o = ohash + ovs + oks
     oe = cbc_encrypt_raw(inter_o, file_key)
     return o, oe, u, ue, file_key

@@ -183,7 +183,7 @@ def _page_content_bytes(store: ObjectStore, page: dict) -> bytes:
     return b"\n".join(parts)
 
 
-def parse_pdf(data: bytes, decrypt: bool = False) -> PdfDocument:
+def parse_pdf(data: bytes, decrypt: bool = False, password: bytes = b"") -> PdfDocument:
     """Parse PDF bytes into pages of positioned text items.
 
     Raises :class:`PdfError` with a stable ``code`` on unrecoverable
@@ -192,12 +192,15 @@ def parse_pdf(data: bytes, decrypt: bool = False) -> PdfDocument:
     ``src/services/pdfParser/index.ts:65-68``).
 
     ``decrypt=True`` additionally opens documents protected by the
-    ISO 32000 §7.6 STANDARD security handler with an EMPTY user
-    password: RC4 (V1/V2 R2/R3), AES-128 (V4 R4 /CFM AESV2) and
-    AES-256 (V5 R5/R6 AESV3) — the common owner-restricted cases in
-    crawled corpora (the reference gets this from vendored pdf.js).
-    The default keeps the round-2 behavior: every /Encrypt document is
-    a typed ``encrypted`` error row.
+    ISO 32000 §7.6 STANDARD security handler: RC4 (V1/V2 R2/R3),
+    AES-128 (V4 R4 /CFM AESV2) and AES-256 (V5 R5/R6 AESV3).
+    ``password`` (round-5; default empty — the common owner-restricted
+    crawl case) is tried as the USER password, then as the OWNER
+    password (Algorithm 7 / Algorithm 12), matching pdf.js's
+    ``getDocument({data, password})``.  A wrong password stays a typed
+    ``encrypted`` row.  The default keeps the round-2 behavior: every
+    /Encrypt document is a typed ``encrypted`` error row without the
+    flag.
     """
     if not data:
         raise PdfError("empty", "empty or invalid PDF file")
@@ -228,7 +231,7 @@ def parse_pdf(data: bytes, decrypt: bool = False) -> PdfDocument:
             enc = store.resolve(encrypt_ref)
             if not isinstance(enc, dict):
                 raise CryptError("encrypt_dict", "/Encrypt is not a dictionary")
-            handler = build_handler(enc, store.trailer.get("ID"))
+            handler = build_handler(enc, store.trailer.get("ID"), password=password)
         except CryptError as e:
             raise PdfError(
                 "encrypted", f"unsupported encryption ({e.code}): {e}"

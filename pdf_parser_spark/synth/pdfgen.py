@@ -341,10 +341,15 @@ end""".encode()
             )
 
             mode = self.encrypt_rc4.get("mode", "rc4")
+            # round-5: optional non-empty passwords in the fixture
+            user_pw = self.encrypt_rc4.get("user_pw", b"")
+            owner_pw = self.encrypt_rc4.get("owner_pw")
             id0 = _hl.md5(b"pdfgen-fixture-" + str(len(self.objects)).encode()).digest()
             if mode == "aesv3":
                 r = int(self.encrypt_rc4.get("r", 6))
-                o, oe, u, ue, _key = make_encrypt_params_v5(r)
+                o, oe, u, ue, _key = make_encrypt_params_v5(
+                    r, user_pw=user_pw,
+                    owner_pw=owner_pw if owner_pw is not None else user_pw)
                 enc_body = (
                     f"<< /Filter /Standard /V 5 /R {r} /Length 256 "
                     f"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
@@ -357,7 +362,8 @@ end""".encode()
                             "CF": {"StdCF": {"CFM": "AESV3", "Length": 32}},
                             "StmF": "StdCF", "StrF": "StdCF"}
             elif mode == "aesv2":
-                o, u, _key = make_encrypt_params(4, 128, id0)
+                o, u, _key = make_encrypt_params(
+                    4, 128, id0, user_pw=user_pw, owner_pw=owner_pw)
                 enc_body = (
                     f"<< /Filter /Standard /V 4 /R 4 /Length 128 "
                     f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
@@ -371,7 +377,8 @@ end""".encode()
             else:
                 r = int(self.encrypt_rc4.get("r", 3))
                 bits = int(self.encrypt_rc4.get("length", 128 if r >= 3 else 40))
-                o, u, _key = make_encrypt_params(r, bits, id0)
+                o, u, _key = make_encrypt_params(
+                    r, bits, id0, user_pw=user_pw, owner_pw=owner_pw)
                 v = 1 if bits == 40 else 2
                 enc_body = (
                     f"<< /Filter /Standard /V {v} /R {r} /Length {bits} "
@@ -380,7 +387,7 @@ end""".encode()
                 enc_dict = {"Filter": "Standard", "V": v, "R": r, "Length": bits,
                             "O": o, "U": u, "P": -44}
             enc_id = self._add(enc_body.encode())
-            handler = StandardSecurityHandler(enc_dict, id0)
+            handler = StandardSecurityHandler(enc_dict, id0, password=user_pw)
             # encrypt every stream payload under its per-object key (the
             # Encrypt dict itself and the xref stream stay plaintext).
             # RC4 preserves length; AES adds IV+padding, so /Length in

@@ -563,3 +563,44 @@ def test_embedded_fonts_inside_encrypted_pdf():
         pg.text(72, 680, "Crypt # T1", font="F4")
         doc = parse_pdf(b.build(), decrypt=True)
         assert doc.pages[0].text() == "Crypt # TT\nCrypt # T1", enc
+
+
+@pytest.mark.parametrize("cfg", [
+    {"r": 3, "length": 128}, {"r": 2, "length": 40},
+    {"mode": "aesv2"}, {"mode": "aesv3", "r": 6}, {"mode": "aesv3", "r": 5},
+])
+def test_nonempty_password_user_owner_wrong(cfg):
+    """Round-5: caller-supplied passwords. The USER password opens via
+    Algorithms 4/5 (or 11); the distinct OWNER password opens via
+    Algorithm 7 (RC4/AESV2: /O decrypts to the padded user password)
+    or Algorithm 12 (V5); empty and wrong passwords stay the typed
+    'encrypted' row. Byte-identical golden text after decryption."""
+    c = dict(cfg, user_pw=b"hunter2", owner_pw=b"admin!")
+    b = PdfBuilder(encrypt_rc4=c, compress=True)
+    b.new_page().text(72, 720, "Secret payload 42")
+    blob = b.build()
+    for bad in (b"", b"wrong", b"HUNTER2"):
+        with pytest.raises(PdfError) as ei:
+            parse_pdf(blob, decrypt=True, password=bad)
+        assert ei.value.code == "encrypted"
+    assert parse_pdf(blob, decrypt=True, password=b"hunter2").text() == "Secret payload 42"
+    assert parse_pdf(blob, decrypt=True, password=b"admin!").text() == "Secret payload 42"
+
+
+def test_password_pdf_extraction_stage(spark):
+    """extract_documents(decrypt=True, password=...): the right password
+    decodes byte-identical; the wrong one keeps the typed error row."""
+    from pdf_parser_spark import extract as ex
+
+    b = PdfBuilder(encrypt_rc4={"mode": "aesv3", "r": 6, "user_pw": b"pw#1"})
+    pg = b.new_page()
+    pg.text(72, 720, "Password-protected body")
+    blob = b.build()
+    pages = spark.createDataFrame(
+        [("pw://1", None, blob, "Password-protected body", "en")],
+        "url string, warc_ts timestamp_ntz, html binary, text string, lang string",
+    )
+    ok = ex.extract_documents(pages, decrypt=True, password=b"pw#1").collect()[0]
+    assert ok["error_code"] is None and ok["text"] == "Password-protected body"
+    bad = ex.extract_documents(pages, decrypt=True, password=b"nope").collect()[0]
+    assert bad["error_code"] == "encrypted"
