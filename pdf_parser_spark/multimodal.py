@@ -501,6 +501,53 @@ def avi_frame_stats(df: DataFrame, every: int = 1, media_col: str = "media") -> 
     )
 
 
+def gif_frame_stats(df: DataFrame, every: int = 1, media_col: str = "media") -> DataFrame:
+    """REAL animated-GIF frame feature extraction: frames are COMPOSED
+    per GIF89a disposal semantics (leave / restore-to-background /
+    restore-previous carry state ACROSS frames — the part a per-frame
+    decoder gets wrong), then every ``every``-th composed canvas is
+    reduced to (first_pixel, pixel_sum).  Same typed-error-row contract
+    and frame cap as :func:`sample_frames`."""
+
+    def mapper(batches):
+        from . import gifcore
+
+        for b in batches:
+            ids, idxs, pxs, sums, errs = [], [], [], [], []
+            for doc_id, blob in zip(b["doc_id"].tolist(), b["media"].tolist()):
+                blob = bytes(blob)
+                rows = []
+                try:
+                    if blob[:4] != b"GIF8":
+                        raise ValueError("not a GIF container")
+                    dec = gifcore.decode_gif_frames(
+                        blob, max_frames=_MAX_GIF_FRAMES + 1
+                    )
+                    if dec["n_frames"] > _MAX_GIF_FRAMES:
+                        raise ValueError(
+                            f"animated GIF exceeds the {_MAX_GIF_FRAMES}-frame decode cap"
+                        )
+                    for i in range(0, dec["n_frames"], every):
+                        fr = dec["frames"][i]
+                        rows.append((i, fr[0] if fr else 0, int(sum(fr)), None))
+                except (ValueError, gifcore.GifError) as e:
+                    rows = [(None, None, None, str(e)[:200])]
+                for i, px, ps, err in rows:
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    pxs.append(px)
+                    sums.append(ps)
+                    errs.append(err)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "first_pixel": pxs, "pixel_sum": sums,
+                                "error": errs})
+
+    return df.select("doc_id", F.col(media_col).alias("media")).mapInPandas(
+        mapper,
+        schema="doc_id long, frame_idx int, first_pixel int, pixel_sum long, error string",
+    )
+
+
 def media_stage_metrics(stage_out: DataFrame) -> DataFrame:
     """Per-task lineage for any multimodal stage output carrying an
     ``error`` column: (partition_id, docs, failures) — the audit-table

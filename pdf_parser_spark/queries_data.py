@@ -1651,6 +1651,98 @@ def _avi_mjpeg_mapper(batches):
         yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
 
+def _gif_anim_mapper(batches):
+    from pdf_parser_spark import gifcore
+
+    for b in batches:
+        ids, blobs = [], []
+        for doc_id in b["doc_id"].tolist():
+            d = int(doc_id)
+            w, h, nf = 2 + d % 6, 2 + d % 4, 6 + d % 18
+            pal = bytes(
+                v for c in range(4)
+                for v in (37 * c + 11, 53 * c + 7, 11 * c + 3)
+            )
+            frames, rects, disps = [], [], []
+            for g in range(nf):
+                x, j = g % w, g // w
+                frames.append(bytes([(d + g) % 4]) * h)
+                rects.append((x, 0, 1, h))
+                if j == 0 and g > 0 and (d + g) % 2 == 1:
+                    disps.append(3)  # restore-previous (column untouched → bg)
+                elif (d + j) % 2 == 1:
+                    disps.append(1)  # leave
+                else:
+                    disps.append(2)  # restore rect to background
+            blob = gifcore.encode_gif_animated(
+                w, h, frames, pal, rects=rects, disposals=disps, background=3
+            )
+            if d % 11 == 0:  # plant a non-GIF blob → typed error row
+                blob = b"X" + blob[1:]
+            ids.append(d)
+            blobs.append(blob)
+        yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF composed-frame sampling (round-5): one GIF89a
+    per doc where frame g paints a 1-wide column at x = g%w with a
+    per-frame DISPOSAL method (leave / restore-background /
+    restore-previous), so every sampled canvas's pixels depend on the
+    compositor carrying disposal STATE across frames.  The oracle is
+    CLOSED-FORM from the planted column/disposal design — it never
+    routes through gifcore, so encoder/decoder bug-cancellation is
+    broken (repo codec rule).  doc_id % 11 == 0 plants a corrupt
+    container → typed error row."""
+    from pdf_parser_spark import multimodal as mm
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    media = d.mapInPandas(_gif_anim_mapper, schema="doc_id long, media binary")
+    return mm.gif_frame_stats(media, every=2)
+
+
+def _sql_gif_frames() -> str:
+    # resolve(x, i): the composed color of column x after frame i.
+    # g* = last column-x frame ≤ i; its value survives iff it IS frame i
+    # (own disposal not yet applied) or its disposal is 1 (leave);
+    # restore-background and the (first-occurrence-only) restore-previous
+    # both yield the background color.  R(c) = 37c+11; R+G+B(c) = 101c+21;
+    # background = palette[3] → R 122, R+G+B 324.
+    def resolve(x: str, form: str) -> str:
+        g = f"({x} + w * ((i - {x}) // w))"
+        j = f"((i - {x}) // w)"
+        color = (
+            f"(37 * ((doc_id + {g}) % 4) + 11)" if form == "r"
+            else f"(101 * ((doc_id + {g}) % 4) + 21)"
+        )
+        bg = "122" if form == "r" else "324"
+        return (
+            f"(CASE WHEN {x} >= w THEN 0"  # column doesn't exist at this width
+            f" WHEN {x} > i THEN {bg}"
+            f" WHEN {g} = i THEN {color}"
+            f" WHEN {j} = 0 AND {g} > 0 AND (doc_id + {g}) % 2 = 1 THEN {bg}"
+            f" WHEN (doc_id + {j}) % 2 = 1 THEN {color}"
+            f" ELSE {bg} END)"
+        )
+
+    total = " + ".join(resolve(str(x), "rgb") for x in range(7))  # w <= 7
+    return f"""
+SELECT doc_id, CAST(NULL AS INT) AS frame_idx, CAST(NULL AS INT) AS first_pixel,
+       CAST(NULL AS BIGINT) AS pixel_sum, 'not a GIF container' AS error
+FROM documents WHERE doc_id % 11 = 0
+UNION ALL
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       CAST({resolve('0', 'r')} AS INT) AS first_pixel,
+       CAST(h * ({total}) AS BIGINT) AS pixel_sum,
+       CAST(NULL AS VARCHAR) AS error
+FROM (
+  SELECT doc_id, 2 + doc_id % 6 AS w, 2 + doc_id % 4 AS h,
+         unnest(generate_series(0, 5 + doc_id % 18, 2)) AS i
+  FROM documents WHERE doc_id % 11 <> 0
+)
+"""
+
+
 def q_avi_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MJPEG-in-AVI frame decode (round-4): synthesize one AVI per
     doc (every doc_id % 7 == 0 carries an XVID stream instead), walk the
@@ -1833,6 +1925,7 @@ def data_queries():
         "wav_roundtrip": q_wav_roundtrip,
         "mp4_roundtrip": q_mp4_roundtrip,
         "avi_mjpeg_frames": q_avi_mjpeg_frames,
+        "gif_frames": q_gif_frames,
     }
 
 
@@ -1882,6 +1975,7 @@ def data_oracle_sql():
         "wav_roundtrip": SQL_WAV_ROUNDTRIP,
         "mp4_roundtrip": SQL_MP4_ROUNDTRIP,
         "avi_mjpeg_frames": SQL_AVI_MJPEG_FRAMES,
+        "gif_frames": _sql_gif_frames(),
     }
 
 

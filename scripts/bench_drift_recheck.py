@@ -10,7 +10,7 @@ Here the six queries run INTERLEAVED round-robin — q1..q6, q1..q6, ...
 within-process spread (max/min across rounds) is comparable to the
 r2→r3 drift ratios, the drift is the box, not a plan change.
 
-Usage: python scripts/bench_drift_recheck.py [sf_dir] [rounds]
+Usage: DRIFT_SET=r3|r4 python scripts/bench_drift_recheck.py [sf_dir] [rounds]
 Prints one JSON line: per-query round times, min/median/max, spread,
 and the r2→r3 drift ratio it is being compared against.
 """
@@ -29,7 +29,7 @@ from bench import noop  # noqa: E402
 from pdf_parser_spark.session import get_spark  # noqa: E402
 
 # BENCH_r02 vs BENCH_r03 driver-recorded seconds (shared 22-query set)
-DRIFTED = {
+DRIFTED_R3 = {
     "depr_schedule": (2.1, 4.2),
     "lineitem_agg": (0.6, 1.3),
     "nation_revenue_topk": (0.5, 1.1),
@@ -37,6 +37,15 @@ DRIFTED = {
     "events_hour_window": (0.6, 1.1),
     "depr_legacy_v1": (1.6, 2.6),
 }
+
+# BENCH_r03 vs BENCH_r04: the two queries past the documented 5.35x
+# noise bound with unchanged code (round-4 verdict item 4)
+DRIFTED_R4 = {
+    "remaining_basis_life": (0.83, 5.81),
+    "resume_anti_join": (0.40, 2.95),
+}
+
+DRIFTED = DRIFTED_R4 if os.environ.get("DRIFT_SET", "r4") == "r4" else DRIFTED_R3
 
 
 def main() -> None:

@@ -284,3 +284,21 @@ def test_sampled_frames_gif_frame_cap_typed_error(monkeypatch):
         mm.sample_frames(blob, every=1)
     monkeypatch.setattr(mm, "_MAX_GIF_FRAMES", 6)
     assert len(mm.sample_frames(blob, every=1)) == 6
+
+
+def test_gif_frame_stats_stage(spark):
+    """gif_frame_stats: composed-frame sampling with typed error rows
+    for non-GIF blobs (round-5 oracle-live animated-GIF op)."""
+    from pdf_parser_spark import multimodal as mm
+    from pdf_parser_spark.gifcore import encode_gif_animated
+
+    pal = bytes([7, 7, 7, 100, 0, 0, 0, 100, 0, 9, 9, 9])
+    anim = encode_gif_animated(2, 2, [bytes([1] * 4), bytes([2] * 4)], pal)
+    df = spark.createDataFrame(
+        [(1, bytearray(anim)), (2, bytearray(b"nope"))],
+        "doc_id long, media binary",
+    )
+    rows = {(r.doc_id, r.frame_idx): r for r in mm.gif_frame_stats(df, every=1).collect()}
+    assert rows[(1, 0)].first_pixel == 100 and rows[(1, 0)].pixel_sum == 400
+    assert rows[(1, 1)].first_pixel == 0 and rows[(1, 1)].pixel_sum == 400
+    assert rows[(2, None)].error == "not a GIF container"
