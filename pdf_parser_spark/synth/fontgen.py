@@ -23,6 +23,7 @@ Adobe Glyph List conventions.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 from typing import Dict, List, Tuple
 
 # AGL names for the printable ASCII range (public Adobe Glyph List).
@@ -178,6 +179,7 @@ def _post_v2(gid_names: List[str], use_std: bool) -> bytes:
 _STD_NAME_TO_CP = {v: ord(k) for k, v in _ASCII_NAMES.items() if ord(k) < 127}
 
 
+@lru_cache(maxsize=None)  # deterministic per (style, names) — one build
 def build_truetype_font(style: str = "mac0", use_std_names: bool = True) -> bytes:
     """The F3 fixture font: gids assigned in code order, names per
     glyph via ``post``.  ``style``:
@@ -204,6 +206,7 @@ def build_truetype_font(style: str = "mac0", use_std_names: bool = True) -> byte
 # ----------------------------------------------------------------------
 # Type1 assembly
 # ----------------------------------------------------------------------
+@lru_cache(maxsize=1)  # fully deterministic — one build per process
 def build_type1_font() -> Tuple[bytes, int, int, int]:
     """The F4 fixture font → (bytes, Length1, Length2, Length3).
 
