@@ -26,11 +26,36 @@ document into a task failure.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import struct
 from typing import Dict, Optional
 
 from .cmap import BASE_ENCODINGS, GLYPH_NAMES
+
+# Executor-side memo keyed by content digest: a crawl shard repeats the
+# same embedded fonts across thousands of documents (pdf.js likewise
+# caches translated fonts), so each distinct font program parses once
+# per worker. Bounded: font maps are small; the table resets per
+# Python worker process.
+_MEMO_MAX = 256
+_memo: Dict[bytes, Optional[Dict[int, str]]] = {}
+
+
+def _memoized(parser):
+    def wrapped(data: bytes) -> Optional[Dict[int, str]]:
+        key = hashlib.md5(parser.__name__.encode() + data).digest()
+        if key in _memo:
+            return _memo[key]
+        got = parser(data)
+        if len(_memo) >= _MEMO_MAX:
+            _memo.clear()
+        _memo[key] = got
+        return got
+
+    wrapped.__name__ = parser.__name__
+    wrapped.__doc__ = parser.__doc__
+    return wrapped
 
 
 def glyph_name_to_unicode(name: str) -> Optional[str]:
@@ -164,6 +189,7 @@ def _parse_post_names(data: bytes, off: int, length: int) -> Optional[Dict[int, 
     return out
 
 
+@_memoized
 def truetype_tounicode(data: bytes) -> Optional[Dict[int, str]]:
     """charcode → unicode string from an sfnt's cmap (+ post names).
 
@@ -249,6 +275,7 @@ def truetype_tounicode(data: bytes) -> Optional[Dict[int, str]]:
 _T1_DUP = re.compile(rb"dup\s+(\d{1,3})\s*/([^\s/{}()\[\]<>]+)\s+put")
 
 
+@_memoized
 def type1_builtin_encoding(data: bytes) -> Optional[Dict[int, str]]:
     """charcode → unicode from a Type1 font program's /Encoding.
 
