@@ -146,13 +146,18 @@ def _build_fonts(store: ObjectStore, resources) -> Dict[str, FontDecoder]:
 
 
 def _embedded_font_map(store: ObjectStore, font_dict: dict):
-    from .fontprog import truetype_tounicode, type1_builtin_encoding
+    from .fontprog import (
+        fontfile3_tounicode,
+        truetype_tounicode,
+        type1_builtin_encoding,
+    )
 
     desc = store.resolve(font_dict.get("FontDescriptor"))
     if not isinstance(desc, dict):
         return None
     for key, parser in (
         ("FontFile2", truetype_tounicode),   # TrueType sfnt
+        ("FontFile3", fontfile3_tounicode),  # CFF/Type1C or OpenType
         ("FontFile", type1_builtin_encoding),  # Type1 cleartext header
     ):
         ff = store.resolve(desc.get(key))

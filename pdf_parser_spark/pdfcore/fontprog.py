@@ -270,6 +270,235 @@ def truetype_tounicode(data: bytes) -> Optional[Dict[int, str]]:
 
 
 # ----------------------------------------------------------------------
+# CFF / Type1C (/FontFile3) — the dominant modern embedded font format
+# (public Adobe CFF spec: INDEX structures, Top DICT, charset, Encoding)
+# ----------------------------------------------------------------------
+def _cff_index(data: bytes, pos: int):
+    """Parse one INDEX at ``pos`` → (list of item bytes, end position)."""
+    if pos + 2 > len(data):
+        raise ValueError("truncated INDEX")
+    (count,) = struct.unpack_from(">H", data, pos)
+    if count == 0:
+        return [], pos + 2
+    off_size = data[pos + 2]
+    if not 1 <= off_size <= 4:
+        raise ValueError(f"bad INDEX offSize {off_size}")
+    p = pos + 3
+    offs = []
+    for i in range(count + 1):
+        offs.append(int.from_bytes(data[p : p + off_size], "big"))
+        p += off_size
+    base = p - 1  # offsets are 1-based from the byte before the data
+    items = []
+    for i in range(count):
+        a, b = base + offs[i], base + offs[i + 1]
+        if not (0 <= a <= b <= len(data)):
+            raise ValueError("INDEX offsets out of range")
+        items.append(data[a:b])
+    return items, base + offs[count]
+
+
+def _cff_dict(data: bytes) -> Dict[int, list]:
+    """Top/Private DICT: {operator: operands}. Two-byte operators are
+    keyed as 1200+op."""
+    out: Dict[int, list] = {}
+    operands: list = []
+    p = 0
+    n = len(data)
+    while p < n:
+        b0 = data[p]
+        if b0 <= 21:  # operator
+            if b0 == 12:
+                p += 1
+                out[1200 + data[p]] = operands
+            else:
+                out[b0] = operands
+            operands = []
+            p += 1
+        elif 32 <= b0 <= 246:
+            operands.append(b0 - 139)
+            p += 1
+        elif 247 <= b0 <= 250:
+            operands.append((b0 - 247) * 256 + data[p + 1] + 108)
+            p += 2
+        elif 251 <= b0 <= 254:
+            operands.append(-(b0 - 251) * 256 - data[p + 1] - 108)
+            p += 2
+        elif b0 == 28:
+            operands.append(struct.unpack_from(">h", data, p + 1)[0])
+            p += 3
+        elif b0 == 29:
+            operands.append(struct.unpack_from(">i", data, p + 1)[0])
+            p += 5
+        elif b0 == 30:  # real: nibble-encoded, skip to the 0xF terminator
+            p += 1
+            val = ""
+            done = False
+            while p < n and not done:
+                for nib in (data[p] >> 4, data[p] & 0xF):
+                    if nib == 0xF:
+                        done = True
+                        break
+                    val += "0123456789.EE?-?"[nib]
+                p += 1
+            try:
+                operands.append(float(val.replace("E-", "e-").replace("E", "e")))
+            except ValueError:
+                operands.append(0.0)
+        else:
+            raise ValueError(f"bad DICT byte {b0}")
+    return out
+
+
+def _cff_sid_name(sid: int, strings) -> Optional[str]:
+    """SID → glyph name. Standard SIDs 1..95 are the printable-ASCII
+    glyph names in codepoint order (name of chr(sid+31)); other
+    standard SIDs stay unresolved (→ unknown glyph, never a wrong
+    one); SIDs ≥ 391 index the font's String INDEX."""
+    if sid == 0:
+        return None  # .notdef
+    if 1 <= sid <= 95:
+        # the uniXXXX spelling resolves to exactly chr(sid+31); the
+        # AGL name string itself is never used downstream
+        return f"uni{sid + 31:04X}"
+    if sid >= 391 and sid - 391 < len(strings):
+        try:
+            return strings[sid - 391].decode("latin-1")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+@_memoized
+def cff_tounicode(data: bytes) -> Optional[Dict[int, str]]:
+    """charcode → unicode from a bare CFF (Type1C) font.
+
+    code → gid via the Encoding table (format 0/1 + supplements;
+    encoding offset 0 = Standard: code → SID c-31 → charset inverse),
+    gid → SID via the charset (formats 0/1/2), SID → name → unicode.
+    CIDFonts (ROS present) and parse failures return None (caller
+    falls back to the standard table)."""
+    try:
+        if len(data) < 4 or data[0] != 1:  # CFF major version 1
+            return None
+        hdr_size = data[2]
+        _names, p = _cff_index(data, hdr_size)
+        top_dicts, p = _cff_index(data, p)
+        strings, p = _cff_index(data, p)
+        if not top_dicts:
+            return None
+        top = _cff_dict(top_dicts[0])
+        if 1230 in top:  # ROS → CIDFont: charset maps CIDs, not SIDs
+            return None
+        cs_off = int(top.get(17, [0])[0]) if top.get(17) else 0
+        if not cs_off:
+            return None
+        charstrings, _ = _cff_index(data, cs_off)
+        n_glyphs = len(charstrings)
+        if n_glyphs == 0:
+            return None
+
+        # charset: gid (≥1) → SID
+        charset_off = int(top.get(15, [0])[0]) if top.get(15) else 0
+        gid_to_sid = {0: 0}
+        if charset_off in (1, 2):
+            # Expert/ExpertSubset predefined charsets: their SIDs are
+            # expert glyphs — resolving them through the ASCII block
+            # would be WRONG, not just incomplete → unsupported
+            return None
+        if charset_off == 0:
+            # predefined ISOAdobe charset: identity SIDs 1..n
+            for g in range(1, n_glyphs):
+                gid_to_sid[g] = g
+        else:
+            fmt = data[charset_off]
+            q = charset_off + 1
+            if fmt == 0:
+                for g in range(1, n_glyphs):
+                    gid_to_sid[g] = struct.unpack_from(">H", data, q)[0]
+                    q += 2
+            elif fmt in (1, 2):
+                g = 1
+                step = 3 if fmt == 1 else 4
+                while g < n_glyphs:
+                    (sid,) = struct.unpack_from(">H", data, q)
+                    n_left = (
+                        data[q + 2] if fmt == 1
+                        else struct.unpack_from(">H", data, q + 2)[0]
+                    )
+                    for k in range(n_left + 1):
+                        if g < n_glyphs:
+                            gid_to_sid[g] = sid + k
+                            g += 1
+                    q += step
+            else:
+                return None
+
+        # encoding: code → gid
+        enc_off = int(top.get(16, [0])[0]) if top.get(16) else 0
+        code_to_gid: Dict[int, int] = {}
+        if enc_off in (0, 1):
+            # Standard/Expert predefined: code → standard SID → gid via
+            # charset inverse (ASCII block only, the load-bearing part)
+            sid_to_gid = {s: g for g, s in gid_to_sid.items()}
+            for c in range(32, 127):
+                g = sid_to_gid.get(c - 31)
+                if g:
+                    code_to_gid[c] = g
+        else:
+            fmt = data[enc_off]
+            q = enc_off + 1
+            if fmt & 0x7F == 0:
+                n_codes = data[q]
+                q += 1
+                for g in range(1, n_codes + 1):
+                    code_to_gid[data[q]] = g
+                    q += 1
+            elif fmt & 0x7F == 1:
+                n_ranges = data[q]
+                q += 1
+                g = 1
+                for _ in range(n_ranges):
+                    first, n_left = data[q], data[q + 1]
+                    q += 2
+                    for k in range(n_left + 1):
+                        code_to_gid[first + k] = g
+                        g += 1
+            else:
+                return None
+            if fmt & 0x80:  # supplements: (code, SID) pairs
+                sid_to_gid = {s: g for g, s in gid_to_sid.items()}
+                n_sups = data[q]
+                q += 1
+                for _ in range(n_sups):
+                    code = data[q]
+                    (sid,) = struct.unpack_from(">H", data, q + 1)
+                    g = sid_to_gid.get(sid)
+                    if g:
+                        code_to_gid[code] = g
+                    q += 3
+
+        out: Dict[int, str] = {}
+        for code, gid in code_to_gid.items():
+            name = _cff_sid_name(gid_to_sid.get(gid, 0), strings)
+            uni = glyph_name_to_unicode(name) if name else None
+            if uni is not None:
+                out[code] = uni
+        return out or None
+    except (ValueError, IndexError, struct.error):
+        return None
+
+
+@_memoized
+def fontfile3_tounicode(data: bytes) -> Optional[Dict[int, str]]:
+    """/FontFile3 dispatch: bare CFF (Type1C) or a full OpenType
+    wrapper (/Subtype /OpenType carries an sfnt)."""
+    if data[:4] in (b"\x00\x01\x00\x00", b"true", b"OTTO", b"ttcf"):
+        return truetype_tounicode(data)
+    return cff_tounicode(data)
+
+
+# ----------------------------------------------------------------------
 # Type1 — /Encoding vector in the cleartext header
 # ----------------------------------------------------------------------
 _T1_DUP = re.compile(rb"dup\s+(\d{1,3})\s*/([^\s/{}()\[\]<>]+)\s+put")

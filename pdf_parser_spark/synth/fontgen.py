@@ -204,6 +204,67 @@ def build_truetype_font(style: str = "mac0", use_std_names: bool = True) -> byte
 
 
 # ----------------------------------------------------------------------
+# CFF (Type1C) assembly — the modern /FontFile3 shape
+# ----------------------------------------------------------------------
+def _cff_index_bytes(items: List[bytes]) -> bytes:
+    """CFF INDEX with offSize 2 (valid while data < 64 KiB)."""
+    if not items:
+        return struct.pack(">H", 0)
+    out = struct.pack(">HB", len(items), 2)
+    off = 1
+    offs = [off]
+    for it in items:
+        off += len(it)
+        offs.append(off)
+    out += b"".join(struct.pack(">H", o) for o in offs)
+    return out + b"".join(items)
+
+
+@lru_cache(maxsize=1)  # fully deterministic — one build per process
+def build_cff_font() -> bytes:
+    """A bare CFF (Type1C) font carrying the F4 code table: Encoding
+    format 0 maps the private codes to gids, charset format 0 maps gids
+    to SIDs (standard ASCII SIDs = codepoint-31; 'Euro' via the String
+    INDEX), CharStrings are single endchar ops (text extraction never
+    rasterizes)."""
+    items = sorted((code, ch) for ch, code in F4_CODE.items())
+    n = len(items)
+    strings: List[bytes] = []
+    sids: List[int] = []
+    for _code, ch in items:
+        o = ord(ch)
+        if 32 <= o <= 126:
+            sids.append(o - 31)  # standard SID block
+        else:
+            sids.append(391 + len(strings))
+            strings.append(_glyph_name(ch).encode("latin-1"))
+    name_index = _cff_index_bytes([b"SynthCFF"])
+    string_index = _cff_index_bytes(strings)
+    gsubr_index = _cff_index_bytes([])
+    encoding = bytes([0, n] + [code for code, _ch in items])
+    charset = bytes([0]) + b"".join(struct.pack(">H", s) for s in sids)
+    charstrings = _cff_index_bytes([b"\x0e"] * (n + 1))  # endchar each
+
+    def op(val: int, operator: int) -> bytes:
+        return struct.pack(">Bi", 29, val) + bytes([operator])
+
+    top_size = 3 * 6  # three (5-byte int32 operand + 1-byte operator)
+    topdict_index_size = 2 + 1 + 2 * 2 + top_size
+    base = 4 + len(name_index) + topdict_index_size + len(string_index) + len(gsubr_index)
+    enc_off = base
+    charset_off = enc_off + len(encoding)
+    cs_off = charset_off + len(charset)
+    top = op(charset_off, 15) + op(enc_off, 16) + op(cs_off, 17)
+    topdict_index = _cff_index_bytes([top])
+    assert len(topdict_index) == topdict_index_size
+    return (
+        bytes([1, 0, 4, 2])  # header: major 1, minor 0, hdrSize, offSize
+        + name_index + topdict_index + string_index + gsubr_index
+        + encoding + charset + charstrings
+    )
+
+
+# ----------------------------------------------------------------------
 # Type1 assembly
 # ----------------------------------------------------------------------
 @lru_cache(maxsize=1)  # fully deterministic — one build per process

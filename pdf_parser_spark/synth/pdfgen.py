@@ -260,6 +260,22 @@ end""".encode()
             f"<< /Type /Font /Subtype /TrueType /BaseFont /SynthTT "
             f"/FontDescriptor {d3} 0 R >>".encode()
         )
+        if cfg.get("t1_flavor", "type1") == "cff":
+            # modern shape: bare CFF (Type1C) in /FontFile3
+            from .fontgen import build_cff_font
+
+            cff = build_cff_font()
+            ff = self._add_stream("/Subtype /Type1C", cff)
+            d4 = self._add(
+                f"<< /Type /FontDescriptor /FontName /SynthCFF /Flags 4 "
+                f"/ItalicAngle 0 /Ascent 800 /Descent -200 /CapHeight 700 "
+                f"/StemV 80 /FontBBox [0 -200 1000 800] /FontFile3 {ff} 0 R >>".encode()
+            )
+            f4 = self._add(
+                f"<< /Type /Font /Subtype /Type1 /BaseFont /SynthCFF "
+                f"/FontDescriptor {d4} 0 R >>".encode()
+            )
+            return f3, f4
         t1, l1, l2, l3 = build_type1_font()
         ff = self._add_stream(f"/Length1 {l1} /Length2 {l2} /Length3 {l3}", t1)
         d4 = self._add(
@@ -541,6 +557,9 @@ def make_quote_pdf(i: int) -> Tuple[bytes, str, str]:
         embedded = {
             "tt_style": ("mac0", "sym4", "fmt6")[(i // 8) % 3],
             "tt_std_names": bool((i // 8) % 2),
+            # variant 7's F4 body alternates the legacy Type1 program
+            # and the modern bare-CFF (/FontFile3 /Type1C) shape
+            "t1_flavor": ("type1", "cff")[(i // 8) % 2],
         }
     b = PdfBuilder(
         compress=variant in (1, 3, 5, 7),

@@ -604,3 +604,78 @@ def test_password_pdf_extraction_stage(spark):
     assert ok["error_code"] is None and ok["text"] == "Password-protected body"
     bad = ex.extract_documents(pages, decrypt=True, password=b"nope").collect()[0]
     assert bad["error_code"] == "encrypted"
+
+
+def test_cff_tounicode_roundtrip_and_dispatch():
+    """Bare CFF (Type1C): Encoding→gid, charset→SID, standard-SID +
+    String-INDEX names; FontFile3 dispatch routes sfnt tags to the
+    TrueType parser."""
+    from pdf_parser_spark.pdfcore.fontprog import cff_tounicode, fontfile3_tounicode
+    from pdf_parser_spark.synth.fontgen import F4_CODE, build_cff_font, build_truetype_font
+
+    m = cff_tounicode(build_cff_font())
+    for ch, code in F4_CODE.items():
+        assert m[code] == ch
+    # an OpenType-wrapped font through the FontFile3 entry point
+    assert fontfile3_tounicode(build_truetype_font("mac0", True)) is not None
+
+
+def test_cff_charset_and_encoding_range_formats():
+    """Hand-built CFF exercising charset format 1 (SID ranges) and
+    Encoding format 1 (+ supplement) — shapes the synth builder never
+    emits. 3 glyphs: codes 40,41 -> 'A','B' via a range; supplement
+    code 200 -> the same 'B' glyph."""
+    import struct
+
+    from pdf_parser_spark.pdfcore.fontprog import cff_tounicode
+    from pdf_parser_spark.synth.fontgen import _cff_index_bytes
+
+    name_index = _cff_index_bytes([b"RangeCFF"])
+    string_index = _cff_index_bytes([])
+    gsubr = _cff_index_bytes([])
+    # encoding fmt 1 with supplement flag: 1 range (first=40, nLeft=1)
+    encoding = bytes([0x81, 1, 40, 1]) + bytes([1, 200]) + struct.pack(">H", 35)
+    # charset fmt 1: one range SID=34 ('A'=ord-31=34? ord('A')=65 -> 34) nLeft=1
+    charset = bytes([1]) + struct.pack(">H", 34) + bytes([1])
+    charstrings = _cff_index_bytes([b"\x0e"] * 3)
+
+    def op(val, operator):
+        return struct.pack(">Bi", 29, val) + bytes([operator])
+
+    topdict_index_size = 2 + 1 + 4 + 18
+    base = 4 + len(name_index) + topdict_index_size + len(string_index) + len(gsubr)
+    enc_off = base
+    cs_off = enc_off + len(encoding)
+    chs_off = cs_off + len(charset)
+    top = op(cs_off, 15) + op(enc_off, 16) + op(chs_off, 17)
+    blob = (bytes([1, 0, 4, 2]) + name_index + _cff_index_bytes([top])
+            + string_index + gsubr + encoding + charset + charstrings)
+    m = cff_tounicode(blob)
+    assert m == {40: "A", 41: "B", 200: "B"}, m
+
+
+def test_cff_cidfont_and_expert_charset_gated():
+    """ROS (CIDFont) and predefined Expert charsets must yield None
+    (standard-table fallback), never wrong text."""
+    import struct
+
+    from pdf_parser_spark.pdfcore.fontprog import cff_tounicode
+    from pdf_parser_spark.synth.fontgen import _cff_index_bytes, build_cff_font
+
+    def rebuild_with_top(top):
+        name_index = _cff_index_bytes([b"X"])
+        blob = (bytes([1, 0, 4, 2]) + name_index + _cff_index_bytes([top])
+                + _cff_index_bytes([]) + _cff_index_bytes([]))
+        return blob
+
+    # ROS operator (12 30) present -> CIDFont -> None
+    ros = (struct.pack(">Bi", 29, 391) + struct.pack(">Bi", 29, 391)
+           + struct.pack(">Bi", 29, 0) + bytes([12, 30]))
+    assert cff_tounicode(rebuild_with_top(ros)) is None
+    # Expert predefined charset (offset 1) -> None
+    ok = build_cff_font()
+    m = cff_tounicode(ok)
+    assert m is not None
+    # corrupt: truncate mid-INDEX -> None, never an exception
+    assert cff_tounicode(ok[:30]) is None
+    assert cff_tounicode(b"\x02\x00\x04\x02") is None  # wrong major version
