@@ -115,6 +115,20 @@ def _parse_cmap_subtable(data: bytes, off: int) -> Optional[Dict[int, int]]:
             if gid:
                 out[first + k] = gid
         return out
+    if fmt == 12:  # segmented coverage, 32-bit codes (modern Unicode)
+        if off + 16 > len(data):
+            return None
+        (n_groups,) = struct.unpack_from(">I", data, off + 12)
+        if n_groups > 100_000 or off + 16 + 12 * n_groups > len(data):
+            return None
+        out = {}
+        for k in range(n_groups):
+            s, e, g0 = struct.unpack_from(">III", data, off + 16 + 12 * k)
+            if e < s or e - s > 0x10FFFF:
+                continue
+            for c in range(s, e + 1):
+                out[c] = g0 + (c - s)
+        return out
     if fmt == 4:
         if off + 14 > len(data):
             return None
@@ -149,15 +163,23 @@ def _parse_cmap_subtable(data: bytes, off: int) -> Optional[Dict[int, int]]:
                 if gid:
                     out[c] = gid
         return out
-    return None  # formats 2/8/10/12/13/14 not needed for byte codes
+    return None  # formats 2/8/10/13/14 not needed for byte codes
 
 
 def _parse_post_names(data: bytes, off: int, length: int) -> Optional[Dict[int, str]]:
-    """glyph id → name from a format-2.0 ``post`` table."""
-    if off + 34 > len(data):
+    """glyph id → name from a ``post`` table (format 2.0, or format 1.0
+    = the standard Macintosh order verbatim: gid IS the standard index)."""
+    if off + 4 > len(data):
         return None
     (version,) = struct.unpack_from(">I", data, off)
-    if version != 0x00020000:
+    if version == 0x00010000:
+        out = {}
+        for gid in range(258):
+            uni = _mac_glyph_unicode(gid)
+            if uni is not None:
+                out[gid] = f"uni{ord(uni):04X}"
+        return out
+    if version != 0x00020000 or off + 34 > len(data):
         return None
     (num,) = struct.unpack_from(">H", data, off + 32)
     idx_end = off + 34 + 2 * num
@@ -233,10 +255,11 @@ def truetype_tounicode(data: bytes) -> Optional[Dict[int, str]]:
         chosen = None
         unicode_typed = False
         symbol = False
-        for key in ((3, 1), (0, 0), (0, 1), (0, 2), (0, 3), (0, 4), (3, 0), (1, 0)):
+        for key in ((3, 1), (3, 10), (0, 0), (0, 1), (0, 2), (0, 3), (0, 4),
+                    (0, 6), (3, 0), (1, 0)):
             if key in subs:
                 chosen = subs[key]
-                unicode_typed = key[0] == 0 or key == (3, 1)
+                unicode_typed = key[0] == 0 or key in ((3, 1), (3, 10))
                 symbol = key == (3, 0)
                 break
         if chosen is None:

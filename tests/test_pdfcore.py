@@ -679,3 +679,38 @@ def test_cff_cidfont_and_expert_charset_gated():
     # corrupt: truncate mid-INDEX -> None, never an exception
     assert cff_tounicode(ok[:30]) is None
     assert cff_tounicode(b"\x02\x00\x04\x02") is None  # wrong major version
+
+
+def test_truetype_cmap_format12_and_post_format1():
+    """Hand-built sfnt: a (3,10) format-12 segmented-coverage cmap with
+    a format-1.0 post (gid IS the standard Mac index) — the modern
+    Unicode-font shape; and the chr(code) fallback when post is absent
+    (unicode-typed subtable)."""
+    import struct
+
+    from pdf_parser_spark.pdfcore.fontprog import truetype_tounicode
+
+    sub12 = struct.pack(">HHIII", 12, 0, 28, 0, 1) + struct.pack(
+        ">III", 0x41, 0x43, 5
+    )
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 10, 12) + sub12
+    post1 = struct.pack(">IihhIIIII", 0x00010000, 0, 0, 0, 0, 0, 0, 0, 0)
+
+    def sfnt(tables):
+        n = len(tables)
+        out = bytearray(struct.pack(">IHHHH", 0x00010000, n, 16, 0, 16 * n - 16))
+        off = 12 + 16 * n
+        body = bytearray()
+        for tag, d in sorted(tables):
+            pad = (-len(d)) % 4
+            out += struct.pack(">4sIII", tag, 0, off, len(d))
+            body += d + b"\x00" * pad
+            off += len(d) + pad
+        return bytes(out + body)
+
+    # gid 5/6/7 -> post-1.0 std indices 5/6/7 -> '"', '#', '$'
+    m = truetype_tounicode(sfnt([(b"cmap", cmap), (b"post", post1)]))
+    assert m == {0x41: '"', 0x42: "#", 0x43: "$"}
+    # no post at all: unicode-typed (3,10) falls back to chr(code)
+    m2 = truetype_tounicode(sfnt([(b"cmap", cmap)]))
+    assert m2 == {0x41: "A", 0x42: "B", 0x43: "C"}
