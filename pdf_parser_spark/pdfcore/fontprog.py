@@ -124,10 +124,15 @@ def _parse_cmap_subtable(data: bytes, off: int) -> Optional[Dict[int, int]]:
         out = {}
         for k in range(n_groups):
             s, e, g0 = struct.unpack_from(">III", data, off + 16 + 12 * k)
-            if e < s or e - s > 0x10FFFF:
+            # simple-font text consumes BMP codes; a hostile group
+            # spanning millions of codepoints must not materialize —
+            # clamp per group and bound the table overall
+            if e < s or s > 0xFFFF:
                 continue
-            for c in range(s, e + 1):
+            for c in range(s, min(e, 0xFFFF) + 1):
                 out[c] = g0 + (c - s)
+            if len(out) > 100_000:
+                return None
         return out
     if fmt == 4:
         if off + 14 > len(data):
