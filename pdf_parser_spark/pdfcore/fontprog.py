@@ -358,19 +358,22 @@ def _cff_dict(data: bytes) -> Dict[int, list]:
         elif b0 == 29:
             operands.append(struct.unpack_from(">i", data, p + 1)[0])
             p += 5
-        elif b0 == 30:  # real: nibble-encoded, skip to the 0xF terminator
+        elif b0 == 30:  # real: nibble-encoded, runs to the 0xF terminator
             p += 1
             val = ""
             done = False
+            # nibble map per CFF spec: a='.', b='E', c='E-', e='-'
+            nibs = ["0", "1", "2", "3", "4", "5", "6", "7", "8", "9",
+                    ".", "e", "e-", "", "-", ""]
             while p < n and not done:
                 for nib in (data[p] >> 4, data[p] & 0xF):
                     if nib == 0xF:
                         done = True
                         break
-                    val += "0123456789.EE?-?"[nib]
+                    val += nibs[nib]
                 p += 1
             try:
-                operands.append(float(val.replace("E-", "e-").replace("E", "e")))
+                operands.append(float(val))
             except ValueError:
                 operands.append(0.0)
         else:
